@@ -1,0 +1,109 @@
+"""High-level differentiable render: gaussian params + camera -> image.
+
+Mirrors the surface the reference exposes through its backend adapter
+(``gsplat_backend.py:129`` ``render_with_depth``): render modes RGB / D / ED /
+RGB+D / RGB+ED, background color, active SH degree; returns the rendered
+image, alpha, depth, and meta (means2d, radii, visibility) for the
+densification bookkeeping.
+
+Backends:
+- ``"ref"``    — the pure-JAX oracle (rasterize_ref), runs anywhere.
+- ``"pallas"`` — the hand-written TPU kernels (rasterize_pallas).
+"""
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from gaussian_splatting_tpu.core.activations import opacity_activation, scale_activation
+from gaussian_splatting_tpu.core.quaternions import quat_normalize
+from gaussian_splatting_tpu.core.sh import sh_to_color
+from gaussian_splatting_tpu.ops.projection import project_gaussians
+from gaussian_splatting_tpu.ops.rasterize_ref import rasterize_reference
+
+
+class RenderOut(NamedTuple):
+    render: jnp.ndarray       # (H, W, C) — RGB, depth, or concat per render_mode
+    alpha: jnp.ndarray        # (H, W)
+    depth: jnp.ndarray        # (H, W) accumulated or expected depth
+    means2d: jnp.ndarray      # (N, 2)
+    radii: jnp.ndarray        # (N,)
+    visibility: jnp.ndarray   # (N,) bool — radius > 0
+
+
+def render(
+    means: jnp.ndarray,
+    quats: jnp.ndarray,
+    log_scales: jnp.ndarray,
+    logit_opacities: jnp.ndarray,
+    sh_coeffs: jnp.ndarray,
+    viewmat: jnp.ndarray,
+    K: jnp.ndarray,
+    width: int,
+    height: int,
+    sh_degree: int = 3,
+    bg: Optional[jnp.ndarray] = None,
+    render_mode: str = "RGB",
+    backend: str = "ref",
+    tile_size: int = 16,
+    isect_capacity: Optional[int] = None,
+) -> RenderOut:
+    """Render one view.
+
+    Parameters are *raw* (log scales, logit opacities, unnormalized quats) —
+    activations applied here, matching ``gaussian_model.py:86-88``.
+    sh_coeffs: (N, K, 3) with K >= (sh_degree+1)^2.
+    """
+    scales = scale_activation(log_scales)
+    opac = opacity_activation(logit_opacities.reshape(-1))
+    quats_n = quat_normalize(quats)
+
+    proj = project_gaussians(means, quats_n, scales, viewmat, K, width, height)
+
+    # View directions from the camera center to each gaussian (world frame).
+    R = viewmat[:3, :3]
+    t = viewmat[:3, 3]
+    cam_pos = -R.T @ t
+    dirs = means - cam_pos[None, :]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    colors = sh_to_color(sh_degree, sh_coeffs, dirs)  # (N, 3)
+
+    if backend == "ref":
+        out = rasterize_reference(
+            proj.means2d, proj.conics, colors, opac, proj.depths,
+            proj.radii, width, height, bg=bg, tile_size=tile_size,
+        )
+        image, alpha_img, depth_img = out.image, out.alpha, out.depth
+    elif backend == "pallas":
+        from gaussian_splatting_tpu.ops.rasterize_pallas import rasterize_tiled
+
+        image, alpha_img, depth_img = rasterize_tiled(
+            proj.means2d, proj.conics, colors, opac, proj.depths, proj.radii,
+            width, height, bg=bg, tile_size=tile_size,
+            isect_capacity=isect_capacity,
+        )
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    if render_mode == "RGB":
+        rendered = image
+    elif render_mode == "D":
+        rendered = depth_img[..., None]
+    elif render_mode == "ED":
+        rendered = (depth_img / jnp.maximum(alpha_img, 1e-10))[..., None]
+    elif render_mode == "RGB+D":
+        rendered = jnp.concatenate([image, depth_img[..., None]], axis=-1)
+    elif render_mode == "RGB+ED":
+        ed = depth_img / jnp.maximum(alpha_img, 1e-10)
+        rendered = jnp.concatenate([image, ed[..., None]], axis=-1)
+    else:
+        raise ValueError(f"unknown render_mode {render_mode!r}")
+
+    return RenderOut(
+        render=rendered,
+        alpha=alpha_img,
+        depth=depth_img,
+        means2d=proj.means2d,
+        radii=proj.radii,
+        visibility=proj.radii > 0,
+    )
