@@ -139,8 +139,13 @@ def rasterize_reference(
             )
             alpha = jnp.where(in_tile, alpha, 0.0)
         w, T_final = blend_weights(alpha)
-        img = w @ colors_s + T_final[:, None] * bg[None, :]
-        depth_acc = w @ depth_s[:, None]
+        # HIGHEST precision: this is the correctness oracle — never let the
+        # TPU default bf16 matmul passes blur the reference values.
+        img = (
+            jnp.dot(w, colors_s, precision=jax.lax.Precision.HIGHEST)
+            + T_final[:, None] * bg[None, :]
+        )
+        depth_acc = jnp.dot(w, depth_s[:, None], precision=jax.lax.Precision.HIGHEST)
         return img, 1.0 - T_final, depth_acc[:, 0]
 
     n_chunks = -(-height // pixel_chunk_rows)

@@ -1,0 +1,175 @@
+"""Pallas tiled rasterizer vs the pure-JAX oracle: pixels and gradients.
+
+Runs in Pallas interpret mode on CPU; the identical kernels compile for TPU
+(validated separately by bench/parity scripts on hardware).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_splatting_tpu.core.cameras import look_at, make_intrinsics
+from gaussian_splatting_tpu.core.sh import rgb_to_sh0
+from gaussian_splatting_tpu.ops.rasterize_ref import rasterize_reference
+from gaussian_splatting_tpu.ops.rasterize_pallas import rasterize_tiled
+from gaussian_splatting_tpu.ops.tiling import isect_tiles
+from gaussian_splatting_tpu.ops.render import render
+
+
+def _screen_gaussians(rng, n, width, height, radius_scale=1.0, opacity_range=(0.2, 0.9)):
+    means2d = rng.uniform([0, 0], [width, height], size=(n, 2))
+    L = rng.normal(size=(n, 2, 2)) * 1.5 * radius_scale
+    cov = L @ np.swapaxes(L, 1, 2) + np.eye(2)[None] * 1.0
+    inv = np.linalg.inv(cov)
+    conics = np.stack([inv[:, 0, 0], inv[:, 0, 1], inv[:, 1, 1]], axis=1)
+    colors = rng.uniform(size=(n, 3))
+    opac = rng.uniform(*opacity_range, size=(n,))
+    depths = rng.uniform(1.0, 10.0, size=(n,))
+    lam = np.linalg.eigvalsh(cov).max(axis=1)
+    radii = np.ceil(3 * np.sqrt(lam)).astype(np.int32)
+    return tuple(
+        jnp.asarray(a, jnp.float32) if a.dtype != np.int32 else jnp.asarray(a)
+        for a in (means2d, conics, colors, opac, depths, radii)
+    )
+
+
+def test_isect_tiles_counts(rng):
+    """Binning bookkeeping: segment counts match a brute-force bbox check."""
+    width, height, ts = 64, 48, 16
+    args = _screen_gaussians(rng, 50, width, height)
+    means2d, conics, colors, opac, depths, radii = args
+    out = isect_tiles(means2d, radii, depths, width, height, ts, capacity=4096, chunk=128)
+    ntx, nty = 4, 3
+    m = np.asarray(means2d); r = np.asarray(radii).astype(float)
+    expected = np.zeros((nty * ntx,), np.int64)
+    for i in range(50):
+        if r[i] <= 0:
+            continue
+        tx0 = int(np.clip(np.floor((m[i, 0] - r[i]) / ts), 0, ntx))
+        tx1 = int(np.clip(np.ceil((m[i, 0] + r[i]) / ts), 0, ntx))
+        ty0 = int(np.clip(np.floor((m[i, 1] - r[i]) / ts), 0, nty))
+        ty1 = int(np.clip(np.ceil((m[i, 1] + r[i]) / ts), 0, nty))
+        for ty in range(ty0, ty1):
+            for tx in range(tx0, tx1):
+                expected[ty * ntx + tx] += 1
+    np.testing.assert_array_equal(np.asarray(out.counts), expected)
+    assert int(out.n_dropped) == 0
+    assert int(out.n_isect) == expected.sum()
+    # Padded starts are chunk-aligned.
+    assert (np.asarray(out.padded_starts) % 128 == 0).all()
+
+
+@pytest.mark.parametrize("shape", [(64, 48), (40, 24)])
+def test_pallas_forward_matches_oracle(rng, shape):
+    width, height = shape
+    args = _screen_gaussians(rng, 70, width, height)
+    ref = rasterize_reference(*args, width, height, tile_size=16)
+    img, alpha, depth = rasterize_tiled(
+        *args, width, height, tile_size=16, chunk=128, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth), atol=1e-4)
+
+
+def test_pallas_multichunk_and_early_stop(rng):
+    """A dense opaque cluster forces multiple chunks per tile and hits the
+    early-termination path."""
+    width = height = 32
+    n = 300
+    means2d = jnp.asarray(
+        np.concatenate([
+            rng.uniform([4, 4], [28, 28], size=(n - 50, 2)),
+            np.full((50, 2), 16.0) + rng.normal(size=(50, 2)),
+        ]), jnp.float32)
+    conics = jnp.tile(jnp.asarray([[0.3, 0.05, 0.4]], jnp.float32), (n, 1))
+    colors = jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32)
+    opac = jnp.asarray(
+        np.concatenate([rng.uniform(0.3, 0.6, n - 50), np.full(50, 0.97)]), jnp.float32)
+    depths = jnp.asarray(rng.uniform(1, 10, n), jnp.float32)
+    radii = jnp.full((n,), 8, jnp.int32)
+    args = (means2d, conics, colors, opac, depths, radii)
+
+    binning = isect_tiles(means2d, radii, depths, width, height, 16, capacity=8192, chunk=128)
+    assert int(np.asarray(binning.counts).max()) > 128  # multi-chunk exercised
+
+    ref = rasterize_reference(*args, width, height, tile_size=16)
+    assert float(ref.alpha.max()) > 0.999  # early stop exercised
+    img, alpha, depth = rasterize_tiled(
+        *args, width, height, tile_size=16, chunk=128, interpret=True
+    )
+    # Pixels whose transmittance lands exactly at the 1e-4 early-stop
+    # threshold can flip the discrete inclusion mask between the per-chunk
+    # and global formulations (f32 rounding of exp-of-sums); tolerance covers
+    # that boundary ambiguity.
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref.image), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(ref.alpha), atol=1e-3)
+
+
+def test_pallas_gradients_match_oracle(rng):
+    """Analytic Pallas backward == autodiff through the oracle, for all
+    screen-space inputs (means2d, conics, colors, opacities) via a loss over
+    image + alpha + depth."""
+    width, height = 48, 32
+    args = _screen_gaussians(rng, 60, width, height)
+    means2d, conics, colors, opac, depths, radii = args
+    timg = jnp.asarray(rng.uniform(size=(height, width, 3)), jnp.float32)
+
+    def loss(fn, means2d, conics, colors, opac, depths):
+        img, alpha, depth = fn(means2d, conics, colors, opac, depths)
+        return (jnp.sum((img - timg) ** 2) + 0.3 * jnp.sum(alpha**2)
+                + 0.05 * jnp.sum(depth**2))
+
+    def f_ref(m, c, col, o, d):
+        out = rasterize_reference(m, c, col, o, d, radii, width, height, tile_size=16)
+        return out.image, out.alpha, out.depth
+
+    def f_pal(m, c, col, o, d):
+        return rasterize_tiled(m, c, col, o, d, radii, width, height,
+                               tile_size=16, chunk=128, interpret=True)
+
+    diff_args = (means2d, conics, colors, opac, depths)
+    g_ref = jax.grad(lambda *a: loss(f_ref, *a), argnums=(0, 1, 2, 3, 4))(*diff_args)
+    g_pal = jax.grad(lambda *a: loss(f_pal, *a), argnums=(0, 1, 2, 3, 4))(*diff_args)
+    names = ["means2d", "conics", "colors", "opacities", "depths"]
+    for name, gr, gp in zip(names, g_ref, g_pal):
+        gr, gp = np.asarray(gr), np.asarray(gp)
+        assert np.isfinite(gp).all(), name
+        scale = np.abs(gr).max() + 1e-8
+        np.testing.assert_allclose(gp, gr, atol=2e-4 * scale, rtol=1e-3,
+                                   err_msg=f"grad mismatch: {name}")
+
+
+def test_full_render_pallas_vs_ref_3d(rng):
+    """End-to-end 3D: same camera/params through both backends, image + grads."""
+    width = height = 32
+    view = look_at(eye=(0.5, -0.3, -4.0), target=(0.0, 0.0, 0.0))
+    K = make_intrinsics(width, height, focal_px=40.0)
+    n = 40
+    means = jnp.asarray(rng.normal(size=(n, 3)) * 0.8, jnp.float32)
+    quats = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    log_scales = jnp.asarray(np.log(rng.uniform(0.1, 0.4, size=(n, 3))), jnp.float32)
+    logit_op = jnp.asarray(rng.normal(size=(n, 1)), jnp.float32)
+    sh = jnp.concatenate([
+        rgb_to_sh0(jnp.asarray(rng.uniform(size=(n, 1, 3)), jnp.float32)),
+        jnp.asarray(rng.normal(size=(n, 15, 3)) * 0.05, jnp.float32)], axis=1)
+    timg = jnp.asarray(rng.uniform(size=(height, width, 3)), jnp.float32)
+
+    def loss(backend, *params):
+        out = render(*params, view, K, width, height, sh_degree=3,
+                     backend=backend, tile_size=16)
+        return jnp.mean((out.render - timg) ** 2)
+
+    params = (means, quats, log_scales, logit_op, sh)
+    l_ref = float(loss("ref", *params))
+    l_pal = float(loss("pallas", *params))
+    np.testing.assert_allclose(l_pal, l_ref, rtol=1e-5)
+
+    g_ref = jax.grad(lambda *p: loss("ref", *p), argnums=(0, 1, 2, 3, 4))(*params)
+    g_pal = jax.grad(lambda *p: loss("pallas", *p), argnums=(0, 1, 2, 3, 4))(*params)
+    for name, gr, gp in zip(["means", "quats", "scales", "opac", "sh"], g_ref, g_pal):
+        gr, gp = np.asarray(gr), np.asarray(gp)
+        scale = np.abs(gr).max() + 1e-8
+        np.testing.assert_allclose(gp, gr, atol=3e-4 * scale, rtol=2e-3,
+                                   err_msg=f"grad mismatch: {name}")
