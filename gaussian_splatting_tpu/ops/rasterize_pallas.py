@@ -61,6 +61,19 @@ def _prefix_sum_lanes(x: jnp.ndarray, n: int) -> jnp.ndarray:
     return x
 
 
+def _prefix_prod_lanes(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Inclusive prefix *product* along lanes. Used for the transmittance
+    chain T_k = prod_{j<=k} (1 - alpha_j) directly — no log1p/exp round trip
+    (3 fewer transcendental passes per chunk than the log-space form)."""
+    assert (n & (n - 1)) == 0, "chunk must be a power of two"
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    d = 1
+    while d < n:
+        x = jnp.where(col >= d, x * pltpu.roll(x, d, 1), x)
+        d *= 2
+    return x
+
+
 def _chunk_alpha(data, px, py):
     """Per-(pixel, entry) alpha for one chunk.
 
@@ -106,19 +119,19 @@ def _fwd_kernel(starts_ref, counts_ref, soa_ref, out_ref, scratch, sem, *, ts, n
         dma.wait()
         data = scratch[:]
         alpha, *_ = _chunk_alpha(data, px, py)
-        l1m = jnp.log1p(-alpha)
-        s_incl = _prefix_sum_lanes(l1m, chunk)
-        t_after = tcar * jnp.exp(s_incl)
+        one_m = 1.0 - alpha                        # >= 1 - ALPHA_CLAMP = 1e-3
+        prod_incl = _prefix_prod_lanes(one_m, chunk)
+        t_after = tcar * prod_incl
         mask = t_after > T_EARLY_STOP
-        w = jnp.where(mask, alpha * tcar * jnp.exp(s_incl - l1m), 0.0)  # (P, K)
+        w = jnp.where(mask, alpha * tcar * prod_incl / one_m, 0.0)  # (P, K)
         extras = data[6:14, :]  # rows r, g, b, depth, one, 0, 0, 0 -> (8, K)
         acc = acc + jax.lax.dot_general(
             extras, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # (8, P)
-        tcar = tcar * jnp.exp(
-            jnp.sum(jnp.where(mask, l1m, 0.0), axis=1, keepdims=True)
-        )
+        # prod over *included* entries = value of the monotone-decreasing
+        # inclusive scan at the last included lane = min over masked lanes.
+        tcar = tcar * jnp.min(jnp.where(mask, prod_incl, 1.0), axis=1, keepdims=True)
         return i + 1, acc, tcar
 
     def cond(carry):
@@ -162,11 +175,11 @@ def _bwd_kernel(
         dma.wait()
         data = scratch[:]
         alpha, sigma, vis, araw, contrib, dx, dy, ca, cb, cc, op = _chunk_alpha(data, px, py)
-        l1m = jnp.log1p(-alpha)
-        s_incl = _prefix_sum_lanes(l1m, chunk)
-        t_after = tcar * jnp.exp(s_incl)
+        one_m = 1.0 - alpha
+        prod_incl = _prefix_prod_lanes(one_m, chunk)
+        t_after = tcar * prod_incl
         mask = t_after > T_EARLY_STOP
-        t_before = tcar * jnp.exp(s_incl - l1m)
+        t_before = tcar * prod_incl / one_m
         w = jnp.where(mask, alpha * t_before, 0.0)
 
         extras = data[6:14, :]
@@ -206,7 +219,7 @@ def _bwd_kernel(
         wdma.start()
         wdma.wait()
 
-        tcar = tcar * jnp.exp(jnp.sum(jnp.where(mask, l1m, 0.0), axis=1, keepdims=True))
+        tcar = tcar * jnp.min(jnp.where(mask, prod_incl, 1.0), axis=1, keepdims=True)
         pcar = pcar + jnp.sum(gww, axis=1, keepdims=True)
         return tcar, pcar
 

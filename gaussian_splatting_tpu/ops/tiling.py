@@ -165,11 +165,16 @@ def build_soa(
             jnp.ones((N,), means2d.dtype),
             zeros, zeros, zeros, zeros, zeros,
         ],
-        axis=0,
-    )  # (16, N)
+        axis=-1,
+    )  # (N, 16) — row-major so the gather below reads contiguous 64B rows
     dummy = jnp.array(
         [-1e4, -1e4, 1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0, 0, 0, 0],
         data.dtype,
-    )[:, None]
-    data = jnp.concatenate([data, dummy], axis=1)  # (16, N+1)
-    return data[:, padded_gauss]
+    )[None, :]
+    data = jnp.concatenate([data, dummy], axis=0)  # (N+1, 16)
+    # Row gather (fast, contiguous) then one dense transpose into the
+    # kernel-friendly (16, padded_capacity) layout. The VJP is the mirror:
+    # transpose + contiguous row scatter-add — far faster on TPU than 16
+    # strided single-float scatters.
+    rows = data[padded_gauss]  # (pcap, 16)
+    return rows.T

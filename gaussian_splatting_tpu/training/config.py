@@ -1,0 +1,90 @@
+"""Training configuration — the single dataclass of all knobs, mirroring the
+reference ``training_config.py:5-93`` (same field names and defaults where the
+semantics carried over; TPU-specific fields documented inline)."""
+
+import dataclasses
+from typing import List, Optional
+
+
+@dataclasses.dataclass
+class TrainingConfig:
+    # --- video processing (reference :15-18) ---
+    frame_stride: int = 30
+    image_scale: float = 1.0
+    cache_dir: str = "./cache"
+    matcher: str = "sift"          # sift | orb
+
+    # --- gaussians (reference :21-26) ---
+    initial_gaussians: int = 100_000
+    max_gaussians: int = 10_000_000
+    densify_interval: int = 100
+    densify_from_iteration: int = 5000   # reference trainer.py:793 (iter > 5000)
+    opacity_reset_interval: int = 5000
+
+    # --- densify thresholds (reference :28-44) ---
+    densify_grads_threshold: float = 5e-4
+    densify_min_opacity: float = 0.005
+    densify_clone_extent_ratio: float = 0.1
+    densify_prune_extent_ratio: float = 2.0
+    scale_clamp_ratio: float = 0.2
+    scale_reg_max_ratio: float = 10.0
+    scale_reg_weight: float = 0.1
+
+    # --- SH warmup (reference :46-51) ---
+    sh_degree_max: int = 3
+    sh_increment_interval: int = 1000
+
+    # --- optimization (reference :54-60 and trainer.py:331-340) ---
+    iterations: int = 300_000
+    batch_size: int = 4
+    position_lr_init: float = 1.6e-4
+    position_lr_final: float = 1.6e-7
+    position_lr_max_steps: int = 300_000
+    lr_features_dc: float = 2.5e-3
+    lr_features_rest: float = 1.25e-4
+    lr_opacity: float = 0.05
+    lr_scaling: float = 5e-3
+    lr_rotation: float = 1e-3
+    adam_eps: float = 1e-15
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+
+    # --- losses (reference :73) ---
+    lambda_dssim: float = 0.2
+
+    # --- TPU execution ---
+    tile_size: int = 16
+    raster_chunk: int = 256
+    backend: str = "auto"              # auto | pallas | ref
+    isect_capacity_mult: int = 8       # capacity = mult * capacity_gaussians
+    capacity_headroom: float = 1.5     # buffer capacity / population target
+    param_dtype: str = "float32"
+    donate_step_buffers: bool = True
+
+    # --- parallelism (new first-class components; reference had a dead
+    # `distributed` flag, see SURVEY §2.12) ---
+    mesh_data: int = 1                 # view/data-parallel axis size
+    mesh_tile: int = 1                 # image-tile (SP-analog) axis size
+
+    # --- logging / validation (reference :78-87) ---
+    log_scalar_interval: int = 10
+    log_image_interval: int = 2000
+    log_hist_interval: int = 5000
+    val_interval: int = 1000
+    val_fraction: float = 0.1
+    val_max_views: int = 16
+    val_seed: int = 42
+    checkpoint_interval: int = 10000
+
+    # --- observability (W&B-compatible; JSONL always written) ---
+    wandb_project: str = "3d-gaussian-splatting-tpu"
+    wandb_entity: Optional[str] = None
+    wandb_mode: str = "disabled"
+    wandb_run_name: Optional[str] = None
+    wandb_tags: Optional[List[str]] = None
+
+    # --- eval ---
+    eval_num_views: int = 12
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,374 @@
+"""Host-side training orchestration — the TPU redesign of the reference
+``GaussianTrainer`` (``trainer.py:25-1002``).
+
+Division of labor:
+- everything per-step lives in ONE jitted XLA computation (``training/step.py``)
+  with donated buffers; the training images are resident on device as uint8
+  and batches are gathered on-device (no per-step host transfers — the
+  reference uploads every batch, ``trainer.py:270-281``);
+- the host loop only handles cadenced events: densify (jitted, masked),
+  opacity reset (jitted), SH-warmup degree bumps and capacity growth (each a
+  cached recompile), validation, checkpoints with resume, metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splatting_tpu.models.densify import clamp_scales, densify_and_prune, reset_opacity
+from gaussian_splatting_tpu.models.gaussians import (
+    GaussianState,
+    grow_capacity,
+    init_from_points,
+    init_random,
+)
+from gaussian_splatting_tpu.ops.render import render
+from gaussian_splatting_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+from gaussian_splatting_tpu.training.config import TrainingConfig
+from gaussian_splatting_tpu.training.export import export_state_ply
+from gaussian_splatting_tpu.training.loss import psnr as psnr_fn
+from gaussian_splatting_tpu.training.loss import ssim as ssim_fn
+from gaussian_splatting_tpu.training.optimizer import AdamState, adam_init
+from gaussian_splatting_tpu.training.step import TrainState, ViewBatch, make_train_step
+from gaussian_splatting_tpu.utils.metrics import MetricsLogger
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class ViewDataset:
+    """All training views at one resolution, host-side."""
+
+    images: np.ndarray    # (V, H, W, 3) uint8, RGB
+    viewmats: np.ndarray  # (V, 4, 4) float32 world-to-camera
+    Ks: np.ndarray        # (V, 3, 3) float32
+
+    @property
+    def num_views(self) -> int:
+        return self.images.shape[0]
+
+    @property
+    def height(self) -> int:
+        return self.images.shape[1]
+
+    @property
+    def width(self) -> int:
+        return self.images.shape[2]
+
+
+def compute_scene_geometry(points_3d: np.ndarray, all_poses: List[np.ndarray]):
+    """Robust scene extent: min(2 x median radius from the median centroid,
+    2 x median camera-frame depth), plus an in-extent mask for outlier
+    filtering — reference ``trainer.py:597-651`` semantics."""
+    points_3d = np.asarray(points_3d, np.float64)
+    if len(points_3d) == 0:
+        return 10.0, np.zeros(0, dtype=bool)
+    centroid = np.median(points_3d, axis=0)
+    radii = np.linalg.norm(points_3d - centroid, axis=1)
+    bbox = points_3d.max(0) - points_3d.min(0)
+    if len(radii) >= 8 and np.isfinite(radii).any():
+        med_radius = float(np.median(radii[np.isfinite(radii)]))
+        depths = []
+        Xh = np.hstack([points_3d, np.ones((len(points_3d), 1))])
+        for pose_arr in all_poses:
+            for pose in np.asarray(pose_arr).reshape(-1, 4, 4):
+                with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
+                    z = (pose @ Xh.T).T[:, 2]
+                z = z[(z > 0) & np.isfinite(z)]
+                if len(z):
+                    depths.append(float(np.median(z)))
+        depth_cap = 2.0 * float(np.median(depths)) if depths else float("inf")
+        extent = float(min(2.0 * med_radius, depth_cap))
+    else:
+        extent = float(np.linalg.norm(bbox))
+    in_extent = radii <= extent
+    return extent, in_extent
+
+
+class GaussianTrainer:
+    def __init__(self, config: TrainingConfig, logger: Optional[MetricsLogger] = None):
+        self.config = config
+        self.logger = logger
+        self.backend = config.backend
+        if self.backend == "auto":
+            self.backend = "pallas" if jax.default_backend() == "tpu" else "ref"
+        self._cum = {"cloned": 0, "split": 0, "pruned": 0, "events": 0}
+
+    # ---- jitted helpers (cached per static config) ----------------------
+
+    def _densify_fn(self):
+        cfg = self.config
+
+        @jax.jit
+        def fn(gauss: GaussianState, moments, key, extent):
+            new_gauss, (mu, nu), stats = densify_and_prune(
+                gauss, moments, key,
+                grads_threshold=cfg.densify_grads_threshold,
+                min_opacity=cfg.densify_min_opacity,
+                extent=extent,
+                max_gaussians=int(cfg.max_gaussians),
+                clone_extent_ratio=cfg.densify_clone_extent_ratio,
+                prune_extent_ratio=cfg.densify_prune_extent_ratio,
+            )
+            return new_gauss, (mu, nu), stats
+
+        return fn
+
+    def _active_sh_degree(self, iteration: int) -> int:
+        cfg = self.config
+        return min(iteration // cfg.sh_increment_interval, cfg.sh_degree_max)
+
+    def _isect_capacity(self, capacity: int) -> int:
+        return int(self.config.isect_capacity_mult) * int(capacity)
+
+    # ---- main entry ------------------------------------------------------
+
+    def train(
+        self,
+        dataset: ViewDataset,
+        output_dir: str,
+        points: Optional[np.ndarray] = None,
+        colors: Optional[np.ndarray] = None,
+        resume_from: Optional[str] = None,
+    ) -> TrainState:
+        cfg = self.config
+        out = Path(output_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        if self.logger is None:
+            self.logger = MetricsLogger(str(out), config=dataclasses.asdict(cfg))
+
+        width, height = dataset.width, dataset.height
+        V = dataset.num_views
+
+        # Scene geometry + outlier filter (reference trainer.py:660-668).
+        if points is not None and len(points) > 0:
+            extent, in_extent = compute_scene_geometry(points, [dataset.viewmats])
+            points_f = np.asarray(points)[in_extent]
+            colors_f = (np.asarray(colors)[in_extent]
+                        if colors is not None and len(colors) == len(in_extent) else None)
+        else:
+            extent, points_f, colors_f = 10.0, None, None
+        log.info("scene extent: %.3f", extent)
+
+        # --- init or resume ---
+        start_iter = 0
+        if resume_from:
+            state, meta = load_checkpoint(resume_from)
+            start_iter = int(state.iteration)
+            extent = float(meta.get("scene_extent", extent))
+            log.info("resumed from %s at iteration %d", resume_from, start_iter)
+        else:
+            if points_f is not None and len(points_f) > 0:
+                n_init = int(min(
+                    max(len(points_f) * 3, cfg.initial_gaussians),
+                    cfg.max_gaussians // 2,
+                ))
+                gauss = init_from_points(points_f, colors_f, n_init)
+            else:
+                log.warning("no 3D points; random init")
+                gauss = init_random(int(cfg.initial_gaussians))
+            state = TrainState(
+                gauss=gauss, opt=adam_init(gauss.params),
+                iteration=jnp.zeros((), jnp.int32),
+            )
+        log.info("capacity %d, alive %d", state.gauss.capacity, int(state.gauss.n_alive()))
+
+        # --- device-resident dataset + train/val split (trainer.py:246-268) ---
+        rng = np.random.RandomState(cfg.val_seed)
+        n_val = (0 if V < 4 else
+                 min(max(1, int(round(V * cfg.val_fraction))), cfg.val_max_views))
+        perm = rng.permutation(V)
+        val_idx = np.sort(perm[:n_val])
+        train_idx = np.array([i for i in range(V) if i not in set(val_idx.tolist())])
+
+        d_images = jax.device_put(dataset.images)  # uint8 on device
+        d_viewmats = jax.device_put(dataset.viewmats.astype(np.float32))
+        d_Ks = jax.device_put(dataset.Ks.astype(np.float32))
+
+        @jax.jit
+        def gather_batch(idx):
+            return ViewBatch(
+                images=d_images[idx].astype(jnp.float32) / 255.0,
+                viewmats=d_viewmats[idx],
+                Ks=d_Ks[idx],
+            )
+
+        densify_fn = self._densify_fn()
+        reset_fn = jax.jit(reset_opacity)
+
+        # --- step compiler cache over (sh_degree, capacity) ---
+        step_cache: Dict = {}
+
+        def get_step(sh_degree: int, capacity: int):
+            key = (sh_degree, capacity)
+            if key not in step_cache:
+                t0 = time.time()
+                step_cache[key] = make_train_step(
+                    cfg, width, height, sh_degree, self.backend,
+                    self._isect_capacity(capacity), extent,
+                    donate=cfg.donate_step_buffers,
+                )
+                log.info("built train step for sh=%d cap=%d (%.1fs)",
+                         sh_degree, capacity, time.time() - t0)
+            return step_cache[key]
+
+        batch_rng = np.random.default_rng(cfg.val_seed + 1)
+        key = jax.random.PRNGKey(cfg.val_seed)
+        it = start_iter
+        t_window = time.time()
+        window_iters = 0
+
+        while it < cfg.iterations:
+            idx = batch_rng.choice(len(train_idx), cfg.batch_size, replace=True)
+            batch = gather_batch(jnp.asarray(train_idx[idx], jnp.int32))
+            sh_deg = self._active_sh_degree(it)
+            step = get_step(sh_deg, state.gauss.capacity)
+            state, metrics = step(state, batch)
+            it += 1
+            window_iters += 1
+
+            # Densify / prune (trainer.py:793-828).
+            if it > cfg.densify_from_iteration and it % cfg.densify_interval == 0:
+                # Grow capacity first if the buffer is nearly full.
+                n_alive = int(state.gauss.n_alive())
+                if (n_alive > 0.85 * state.gauss.capacity
+                        and state.gauss.capacity < cfg.max_gaussians):
+                    new_cap = min(
+                        int(state.gauss.capacity * cfg.capacity_headroom) + 2048,
+                        int(cfg.max_gaussians),
+                    )
+                    new_cap = ((new_cap + 2047) // 2048) * 2048
+                    log.info("growing capacity %d -> %d", state.gauss.capacity, new_cap)
+                    gauss = grow_capacity(state.gauss, new_cap)
+                    opt = AdamState(
+                        mu=jax.tree_util.tree_map(
+                            lambda m, p: jnp.zeros_like(p).at[: m.shape[0]].set(m),
+                            state.opt.mu, gauss.params),
+                        nu=jax.tree_util.tree_map(
+                            lambda v, p: jnp.zeros_like(p).at[: v.shape[0]].set(v),
+                            state.opt.nu, gauss.params),
+                        step=state.opt.step,
+                    )
+                    state = TrainState(gauss=gauss, opt=opt, iteration=state.iteration)
+
+                key, sub = jax.random.split(key)
+                gauss, (mu, nu), dstats = densify_fn(
+                    state.gauss, (state.opt.mu, state.opt.nu), sub,
+                    jnp.float32(extent),
+                )
+                state = TrainState(
+                    gauss=gauss,
+                    opt=AdamState(mu=mu, nu=nu, step=state.opt.step),
+                    iteration=state.iteration,
+                )
+                self._cum["cloned"] += int(dstats.n_cloned)
+                self._cum["split"] += int(dstats.n_split)
+                self._cum["pruned"] += int(dstats.n_pruned)
+                self._cum["events"] += 1
+                self.logger.log({
+                    "densify/cloned": int(dstats.n_cloned),
+                    "densify/split": int(dstats.n_split),
+                    "densify/pruned": int(dstats.n_pruned),
+                    "densify/n_before": int(dstats.n_before),
+                    "densify/n_after": int(dstats.n_after),
+                    "densify/capped": int(dstats.capped),
+                    "densify/cumulative_cloned": self._cum["cloned"],
+                    "densify/cumulative_split": self._cum["split"],
+                    "densify/cumulative_pruned": self._cum["pruned"],
+                    "densify/event_idx": self._cum["events"],
+                }, step=it)
+
+            # Opacity reset (trainer.py:841-850).
+            if it % cfg.opacity_reset_interval == 0 and it > 0:
+                state = TrainState(
+                    gauss=dataclasses.replace(
+                        state.gauss, params=reset_fn(state.gauss.params)),
+                    opt=state.opt, iteration=state.iteration,
+                )
+
+            # Scalar logging (trainer.py:862-924 cadence).
+            if it % cfg.log_scalar_interval == 0:
+                dt = time.time() - t_window
+                sps = window_iters / dt if dt > 0 else 0.0
+                t_window = time.time()
+                window_iters = 0
+                self.logger.log({
+                    "loss": float(metrics["loss"]),
+                    "train/l1": float(metrics["l1"]),
+                    "train/ssim": float(metrics["ssim"]),
+                    "train/psnr": float(metrics["psnr"]),
+                    "train/scale_reg": float(metrics["scale_reg"]),
+                    "lr/xyz": float(metrics["xyz_lr"]),
+                    "n_gaussians": int(state.gauss.n_alive()),
+                    "sh_degree": sh_deg,
+                    "steps_per_sec": sps,
+                }, step=it)
+
+            # Validation (trainer.py:951-963).
+            if n_val > 0 and it % cfg.val_interval == 0:
+                vm = self.validate(state, gather_batch, val_idx, sh_deg, width, height)
+                if vm:
+                    self.logger.log(vm, step=it)
+
+            # Checkpoints (trainer.py:986-987).
+            if it % cfg.checkpoint_interval == 0:
+                ck = out / f"checkpoint_{it}.npz"
+                save_checkpoint(str(ck), state, extra={"scene_extent": extent})
+                export_state_ply(state.gauss, str(out / f"checkpoint_{it}.ply"))
+                log.info("checkpoint @%d -> %s", it, ck)
+
+        # Final save + export (train.py:135-137).
+        save_checkpoint(str(out / "final.npz"), state, extra={"scene_extent": extent})
+        n = export_state_ply(state.gauss, str(out / "final.ply"))
+        log.info("final export: %d gaussians", n)
+        return state
+
+    # ---- validation ------------------------------------------------------
+
+    def validate(self, state, gather_batch, val_idx, sh_degree, width, height):
+        if len(val_idx) == 0:
+            return None
+        cfg = self.config
+        p = state.gauss.params
+        alive = state.gauss.alive
+        cap = self._isect_capacity(state.gauss.capacity)
+
+        @jax.jit
+        def render_one(params, masked_op, viewmat, K):
+            out = render(
+                params.means, params.quats, params.log_scales, masked_op,
+                params.sh_coeffs, viewmat, K, width, height,
+                sh_degree=sh_degree, backend=self.backend,
+                tile_size=cfg.tile_size, isect_capacity=cap,
+            )
+            return jnp.clip(out.render, 0.0, 1.0)
+
+        masked_op = p.masked_opacities(alive)
+        l1s, ssims, psnrs = [], [], []
+        sample = None
+        for i in val_idx:
+            b = gather_batch(jnp.asarray([int(i)], jnp.int32))
+            img = render_one(p, masked_op, b.viewmats[0], b.Ks[0])
+            gt = b.images[0]
+            l1s.append(float(jnp.mean(jnp.abs(img - gt))))
+            ssims.append(float(ssim_fn(img, gt)))
+            psnrs.append(float(psnr_fn(img, gt)))
+            if sample is None:
+                sample = np.concatenate([np.asarray(img), np.asarray(gt)], axis=1)
+        if sample is not None and self.logger is not None:
+            self.logger.log_image("val/render_vs_gt", sample, step=int(state.iteration))
+        return {
+            "val/l1": float(np.mean(l1s)),
+            "val/ssim": float(np.mean(ssims)),
+            "val/psnr": float(np.mean(psnrs)),
+            "val/n_views": len(val_idx),
+        }

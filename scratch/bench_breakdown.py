@@ -1,0 +1,70 @@
+"""Break down rasterizer time: binning sort, SoA gather, pallas fwd, pallas bwd."""
+
+import time
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splatting_tpu.ops.tiling import isect_tiles, build_soa, padded_capacity_for, cdiv
+from gaussian_splatting_tpu.ops.rasterize_pallas import _make_rasterizer
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+width, height = 1920, 1080
+ts, chunk = 16, 256
+ntx, nty = cdiv(width, ts), cdiv(height, ts)
+T = ntx * nty
+cap = 8 * N
+pcap = padded_capacity_for(cap, T, chunk)
+print("backend:", jax.default_backend(), "N:", N, "T:", T, "pcap:", pcap)
+
+rng = np.random.default_rng(0)
+means2d = jnp.asarray(rng.uniform([0, 0], [width, height], size=(N, 2)), jnp.float32)
+sx = rng.uniform(1.0, 6.0, size=(N,)); sy = rng.uniform(1.0, 6.0, size=(N,))
+th = rng.uniform(0, np.pi, size=(N,)); c, s = np.cos(th), np.sin(th)
+a = c*c*sx**2 + s*s*sy**2; b = c*s*(sx**2-sy**2); d = s*s*sx**2 + c*c*sy**2
+det = a*d - b*b
+conics = jnp.asarray(np.stack([d/det, -b/det, a/det], 1), jnp.float32)
+colors = jnp.asarray(rng.uniform(size=(N, 3)), jnp.float32)
+opac = jnp.asarray(rng.uniform(0.3, 0.9, size=(N,)), jnp.float32)
+depths = jnp.asarray(rng.uniform(1, 10, size=(N,)), jnp.float32)
+radii = jnp.asarray(np.ceil(3*np.sqrt(np.maximum(sx, sy)**2)), jnp.int32)
+
+
+def timeit(name, fn, *args, reps=5):
+    out = fn(*args); jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+    print(f"{name}: {dt*1e3:.1f} ms")
+    return out, dt
+
+
+bin_fn = jax.jit(lambda m, r, d: isect_tiles(m, r, d, width, height, ts, capacity=cap, chunk=chunk))
+binning, t_bin = timeit("isect_tiles (sort+scatter)", bin_fn, means2d, radii, depths)
+print("  n_isect:", int(binning.n_isect))
+
+soa_fn = jax.jit(build_soa)
+soa, t_soa = timeit("build_soa (gather)", soa_fn, means2d, conics, colors, opac, depths, binning.padded_gauss)
+
+raster = _make_rasterizer(ts, ntx, nty, chunk, pcap, False)
+fwd_fn = jax.jit(lambda s, st, ct: raster(s, st, ct))
+out, t_fwd = timeit("pallas fwd kernel", fwd_fn, soa, binning.padded_starts, binning.counts)
+
+g = jnp.ones_like(out)
+bwd_fn = jax.jit(lambda s, st, ct: jax.vjp(lambda x: raster(x, st, ct), s)[1](g)[0])
+_, t_bwd = timeit("pallas fwd+bwd kernel", bwd_fn, soa, binning.padded_starts, binning.counts)
+
+# scatter-add path (VJP of gather)
+def gather_loss(m2, c2, col, o, d):
+    s2 = build_soa(m2, c2, col, o, d, binning.padded_gauss)
+    return jnp.sum(s2 * soa)
+scat_fn = jax.jit(jax.grad(gather_loss, argnums=(0, 1, 2, 3, 4)))
+_, t_scat = timeit("gather+scatter-add VJP", scat_fn, means2d, conics, colors, opac, depths)
+
+px = width * height
+total = t_bin + t_soa + t_fwd
+print(f"\nfwd total {total*1e3:.1f} ms -> {px/total/1e6:.1f} Mpix/s")
