@@ -1,0 +1,140 @@
+"""Eval CLI — counterpart of the reference ``python -m src.eval``
+(``eval.py:94-253``): load a checkpoint (ours ``.npz``, a reference-style
+``.pth``, or a ``.ply``), render N evenly-spaced views against ground-truth
+frames, report L1/SSIM/PSNR, save side-by-side PNGs, and re-export a PLY.
+
+Usage:
+  python -m gaussian_splatting_tpu.eval_cli --model final.npz \
+      --videos input.mp4 [--num-views 12] [--output eval_out]
+"""
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def load_model(path: str):
+    from gaussian_splatting_tpu.training.checkpoint import (
+        load_checkpoint,
+        load_reference_pth,
+    )
+
+    if path.endswith(".npz"):
+        state, meta = load_checkpoint(path)
+        return state.gauss, meta
+    if path.endswith(".pth"):
+        return load_reference_pth(path), {}
+    if path.endswith(".ply"):
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from gaussian_splatting_tpu.models.gaussians import empty_state
+        from gaussian_splatting_tpu.training.export import read_ply
+
+        d = read_ply(path)
+        n = len(d["means"])
+        st = empty_state(max(n, 1))
+        params = dataclasses.replace(
+            st.params,
+            means=jnp.asarray(d["means"]),
+            quats=jnp.asarray(d["quats"]),
+            log_scales=jnp.asarray(d["log_scales"]),
+            logit_opacities=jnp.asarray(d["logit_opacities"]),
+            features_dc=jnp.asarray(d["features_dc"]),
+            features_rest=jnp.asarray(d["features_rest"]),
+        )
+        return dataclasses.replace(st, params=params,
+                                   alive=jnp.ones((n,), bool)), {}
+    raise ValueError(f"unknown model format: {path}")
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True, help=".npz / .pth / .ply checkpoint")
+    p.add_argument("--videos", nargs="+", required=True)
+    p.add_argument("--output", default="./eval_out")
+    p.add_argument("--num-views", type=int, default=12)
+    p.add_argument("--frame-stride", type=int, default=30)
+    p.add_argument("--matcher", default="sift")
+    p.add_argument("--use-sfm-cache", action="store_true", default=True)
+    p.add_argument("--backend", choices=["auto", "pallas", "ref"], default="auto")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from gaussian_splatting_tpu.ops.render import render
+    from gaussian_splatting_tpu.train_cli import build_dataset
+    from gaussian_splatting_tpu.training.export import export_state_ply
+    from gaussian_splatting_tpu.training.loss import psnr as psnr_fn
+    from gaussian_splatting_tpu.training.loss import ssim as ssim_fn
+    from gaussian_splatting_tpu.video.processor import MultiVideoProcessor
+
+    out = Path(args.output)
+    out.mkdir(parents=True, exist_ok=True)
+    gauss, meta = load_model(args.model)
+    n_exported = export_state_ply(gauss, str(out / "model.ply"))
+    log.info("model: %d gaussians", n_exported)
+
+    proc = MultiVideoProcessor(matcher=args.matcher)
+    merged = proc.process_videos(args.videos, stride=args.frame_stride,
+                                 use_cache=args.use_sfm_cache)
+    ds = build_dataset(merged)
+    V = ds.num_views
+    sel = np.unique(np.linspace(0, V - 1, min(args.num_views, V)).astype(int))
+
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "ref"
+    width, height = ds.width, ds.height
+    params = gauss.params
+    masked_op = params.masked_opacities(gauss.alive)
+
+    @jax.jit
+    def render_view(viewmat, K):
+        o = render(params.means, params.quats, params.log_scales, masked_op,
+                   params.sh_coeffs, viewmat, K, width, height,
+                   sh_degree=3, backend=backend,
+                   isect_capacity=4 * params.capacity)
+        return jnp.clip(o.render, 0.0, 1.0)
+
+    rows = []
+    for i in sel:
+        img = render_view(jnp.asarray(ds.viewmats[i]), jnp.asarray(ds.Ks[i]))
+        gt = jnp.asarray(ds.images[i], jnp.float32) / 255.0
+        m = {
+            "view": int(i),
+            "l1": float(jnp.mean(jnp.abs(img - gt))),
+            "ssim": float(ssim_fn(img, gt)),
+            "psnr": float(psnr_fn(img, gt)),
+        }
+        rows.append(m)
+        side = np.concatenate([np.asarray(img), np.asarray(gt)], axis=1)
+        Image.fromarray((side * 255).astype(np.uint8)).save(
+            out / f"view_{int(i):04d}.png")
+        log.info("view %d: L1 %.4f SSIM %.4f PSNR %.2f", i, m["l1"], m["ssim"], m["psnr"])
+
+    summary = {
+        "num_views": len(rows),
+        "l1": float(np.mean([r["l1"] for r in rows])),
+        "ssim": float(np.mean([r["ssim"] for r in rows])),
+        "psnr": float(np.mean([r["psnr"] for r in rows])),
+        "per_view": rows,
+    }
+    with open(out / "metrics.json", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: summary[k] for k in ("num_views", "l1", "ssim", "psnr")}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

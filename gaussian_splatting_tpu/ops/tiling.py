@@ -154,27 +154,25 @@ def build_soa(
     scatter instead.
     """
     N = means2d.shape[0]
-    zeros = jnp.zeros((N,), means2d.dtype)
-    data = jnp.stack(
-        [
-            means2d[:, 0], means2d[:, 1],
-            conics[:, 0], conics[:, 1], conics[:, 2],
-            opacities,
-            colors[:, 0], colors[:, 1], colors[:, 2],
-            depths,
-            jnp.ones((N,), means2d.dtype),
-            zeros, zeros, zeros, zeros, zeros,
-        ],
-        axis=-1,
-    )  # (N, 16) — row-major so the gather below reads contiguous 64B rows
-    dummy = jnp.array(
-        [-1e4, -1e4, 1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0, 0, 0, 0, 0],
-        data.dtype,
-    )[None, :]
-    data = jnp.concatenate([data, dummy], axis=0)  # (N+1, 16)
-    # Row gather (fast, contiguous) then one dense transpose into the
-    # kernel-friendly (16, padded_capacity) layout. The VJP is the mirror:
-    # transpose + contiguous row scatter-add — far faster on TPU than 16
-    # strided single-float scatters.
-    rows = data[padded_gauss]  # (pcap, 16)
-    return rows.T
+    dtype = means2d.dtype
+    # Flat per-quantity arrays with one dummy tail element (index N): TPU HBM
+    # pads the minor dim of a (pcap, 16) array to 128 (8x memory/bandwidth
+    # blowup — measured), and a (16, pcap) column gather is strided. Sixteen
+    # independent 1D gathers + a stack along axis 0 keep every access
+    # contiguous, and the VJP is sixteen 1D scatter-adds.
+    dummy_vals = (-1e4, -1e4, 1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    quantities = (
+        means2d[:, 0], means2d[:, 1],
+        conics[:, 0], conics[:, 1], conics[:, 2],
+        opacities,
+        colors[:, 0], colors[:, 1], colors[:, 2],
+        depths,
+        jnp.ones((N,), dtype),
+    )
+    rows = [
+        jnp.concatenate([q, jnp.full((1,), dv, dtype)])[padded_gauss]
+        for q, dv in zip(quantities, dummy_vals)
+    ]
+    pcap = padded_gauss.shape[0]
+    rows += [jnp.zeros((pcap,), dtype)] * 5
+    return jnp.stack(rows, axis=0)  # (16, pcap)

@@ -1,4 +1,8 @@
-"""Break down rasterizer time: binning sort, SoA gather, pallas fwd, pallas bwd."""
+"""Break down rasterizer time: binning sort, SoA gather, pallas fwd, pallas
+bwd, scatter-add VJP.
+
+The axon remote-TPU layer memoizes pure executions on identical inputs, so
+every timed call gets a slightly different input (cache-busting seeds)."""
 
 import time
 import sys
@@ -17,6 +21,7 @@ ntx, nty = cdiv(width, ts), cdiv(height, ts)
 T = ntx * nty
 cap = 8 * N
 pcap = padded_capacity_for(cap, T, chunk)
+REPS = 5
 print("backend:", jax.default_backend(), "N:", N, "T:", T, "pcap:", pcap)
 
 rng = np.random.default_rng(0)
@@ -30,41 +35,54 @@ colors = jnp.asarray(rng.uniform(size=(N, 3)), jnp.float32)
 opac = jnp.asarray(rng.uniform(0.3, 0.9, size=(N,)), jnp.float32)
 depths = jnp.asarray(rng.uniform(1, 10, size=(N,)), jnp.float32)
 radii = jnp.asarray(np.ceil(3*np.sqrt(np.maximum(sx, sy)**2)), jnp.int32)
+seeds = [jnp.float32(1.0 + 1e-6 * i) for i in range(REPS + 1)]
 
 
-def timeit(name, fn, *args, reps=5):
-    out = fn(*args); jax.block_until_ready(out)
+def timeit(name, fn, reps=REPS):
+    out = fn(seeds[-1])
+    jax.block_until_ready(out)
     t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args)
+    for i in range(reps):
+        out = fn(seeds[i])
     jax.block_until_ready(out)
     dt = (time.time() - t0) / reps
-    print(f"{name}: {dt*1e3:.1f} ms")
+    print(f"{name}: {dt*1e3:.1f} ms", flush=True)
     return out, dt
 
 
-bin_fn = jax.jit(lambda m, r, d: isect_tiles(m, r, d, width, height, ts, capacity=cap, chunk=chunk))
-binning, t_bin = timeit("isect_tiles (sort+scatter)", bin_fn, means2d, radii, depths)
+bin_fn = jax.jit(lambda s: isect_tiles(means2d * s, radii, depths, width, height, ts,
+                                       capacity=cap, chunk=chunk))
+binning, t_bin = timeit("isect_tiles (sort+scatter)", bin_fn)
 print("  n_isect:", int(binning.n_isect))
 
-soa_fn = jax.jit(build_soa)
-soa, t_soa = timeit("build_soa (gather)", soa_fn, means2d, conics, colors, opac, depths, binning.padded_gauss)
+soa_fn = jax.jit(lambda s: build_soa(means2d * s, conics, colors, opac, depths,
+                                     binning.padded_gauss))
+soa, t_soa = timeit("build_soa (row gather)", soa_fn)
 
 raster = _make_rasterizer(ts, ntx, nty, chunk, pcap, False)
-fwd_fn = jax.jit(lambda s, st, ct: raster(s, st, ct))
-out, t_fwd = timeit("pallas fwd kernel", fwd_fn, soa, binning.padded_starts, binning.counts)
+fwd_fn = jax.jit(lambda s: raster(soa * s, binning.padded_starts, binning.counts))
+out, t_fwd = timeit("pallas fwd kernel", fwd_fn)
 
 g = jnp.ones_like(out)
-bwd_fn = jax.jit(lambda s, st, ct: jax.vjp(lambda x: raster(x, st, ct), s)[1](g)[0])
-_, t_bwd = timeit("pallas fwd+bwd kernel", bwd_fn, soa, binning.padded_starts, binning.counts)
+bwd_fn = jax.jit(
+    lambda s: jax.vjp(lambda x: raster(x, binning.padded_starts, binning.counts), soa * s)[1](g)[0]
+)
+_, t_fb = timeit("pallas fwd+bwd kernel", bwd_fn)
 
-# scatter-add path (VJP of gather)
-def gather_loss(m2, c2, col, o, d):
-    s2 = build_soa(m2, c2, col, o, d, binning.padded_gauss)
-    return jnp.sum(s2 * soa)
-scat_fn = jax.jit(jax.grad(gather_loss, argnums=(0, 1, 2, 3, 4)))
-_, t_scat = timeit("gather+scatter-add VJP", scat_fn, means2d, conics, colors, opac, depths)
+
+def gather_scatter(s):
+    m2 = means2d * s
+    def f(m2, c2, col, o, d):
+        s2 = build_soa(m2, c2, col, o, d, binning.padded_gauss)
+        return jnp.sum(s2 * soa)
+    return jax.grad(f, argnums=(0, 1, 2, 3, 4))(m2, conics, colors, opac, depths)
+
+
+scat_fn = jax.jit(gather_scatter)
+_, t_scat = timeit("gather+scatter-add VJP", scat_fn)
 
 px = width * height
-total = t_bin + t_soa + t_fwd
-print(f"\nfwd total {total*1e3:.1f} ms -> {px/total/1e6:.1f} Mpix/s")
+fwd_total = t_bin + t_soa + t_fwd
+bwd_total = t_bin + t_soa + t_fb + (t_scat - t_soa)
+print(f"\nfwd total {fwd_total*1e3:.1f} ms -> {px/fwd_total/1e6:.1f} Mpix/s")
+print(f"fwd+bwd total {bwd_total*1e3:.1f} ms -> {px/bwd_total/1e6:.1f} Mpix/s")
