@@ -1,0 +1,110 @@
+"""Driver benchmark: pixels/sec/chip, forward+backward, through the full
+Pallas rasterization path at the north-star config (1M gaussians @ 1080p,
+BASELINE.json). Prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` is the ratio against a documented VPU roofline estimate for
+this workload on one v5e chip (see ``_roofline_pixels_per_sec``) — the
+reference publishes no numbers (BASELINE.md), so the roofline is the bar.
+
+Smaller/faster knobs for local runs:
+  python bench.py [n_gaussians] [width height]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _roofline_pixels_per_sec(n_isect, n_pixels, tile_pixels=256):
+    """Speed-of-light estimate for fwd+bwd splatting on one v5e chip.
+
+    The inner loop is VPU-elementwise over (entries x tile_pixels) pairs:
+    ~30 vector ops fwd + ~60 bwd per (entry, pixel) pair (alpha eval, scan,
+    blend, gradient chain), at ~0.25 Tflop/s-equivalent f32 VPU elementwise
+    throughput per v5e core (8x128 lanes x ~2 ops x 940 MHz), plus the MXU
+    matmuls which overlap. HBM traffic is secondary (SoA streams at ~64B per
+    entry). This yields pairs/sec ~= 2.4e12 / 90 ~= 2.7e10.
+    """
+    pair_ops = 90.0
+    vpu_ops_per_sec = 1.9e12  # 8*128 lanes * 2 flops * 940 MHz
+    pairs = float(n_isect) * tile_pixels
+    t = pairs * pair_ops / vpu_ops_per_sec
+    return n_pixels / t
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    width = int(sys.argv[2]) if len(sys.argv) > 3 else 1920
+    height = int(sys.argv[3]) if len(sys.argv) > 3 else 1080
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_splatting_tpu.ops.rasterize_pallas import rasterize_tiled
+    from gaussian_splatting_tpu.ops.tiling import isect_tiles
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+    # Screen-space gaussians with a realistic radius distribution (mostly
+    # small splats, a few large ones), uniform over the frame.
+    means2d = jnp.asarray(rng.uniform([0, 0], [width, height], size=(n, 2)), jnp.float32)
+    sx = rng.lognormal(mean=0.8, sigma=0.5, size=(n,)).clip(0.7, 12.0)
+    sy = rng.lognormal(mean=0.8, sigma=0.5, size=(n,)).clip(0.7, 12.0)
+    th = rng.uniform(0, np.pi, size=(n,))
+    c, s = np.cos(th), np.sin(th)
+    a = c * c * sx**2 + s * s * sy**2
+    b = c * s * (sx**2 - sy**2)
+    d = s * s * sx**2 + c * c * sy**2
+    det = a * d - b * b
+    conics = jnp.asarray(np.stack([d / det, -b / det, a / det], 1), jnp.float32)
+    colors = jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.3, 0.9, size=(n,)), jnp.float32)
+    depths = jnp.asarray(rng.uniform(1, 10, size=(n,)), jnp.float32)
+    radii = jnp.asarray(np.ceil(3 * np.maximum(sx, sy)), jnp.int32)
+
+    cap = None
+    chunk = 256
+
+    def loss(m, c2, col, o, dd, s_):
+        img, alpha, depth = rasterize_tiled(
+            m * s_, c2, col, o, dd, radii, width, height,
+            tile_size=16, isect_capacity=cap, chunk=chunk,
+            interpret=not on_tpu,
+        )
+        return jnp.sum(img) + jnp.sum(alpha) + 0.01 * jnp.sum(depth)
+
+    f = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+    args = (means2d, conics, colors, opac, depths)
+
+    n_isect = int(jax.jit(
+        lambda: isect_tiles(means2d, radii, depths, width, height, 16,
+                            chunk=chunk, max_tiles_per_gaussian=16).n_isect
+    )())
+
+    # Cache-busting seeds: the axon remote layer memoizes pure executions.
+    seeds = [jnp.float32(1.0 + 1e-7 * i) for i in range(8)]
+    jax.block_until_ready(f(*args, seeds[-1]))  # compile
+    reps = 5
+    t0 = time.time()
+    for i in range(reps):
+        out = f(*args, seeds[i])
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / reps
+
+    pixels = width * height
+    value = pixels / dt
+    roof = _roofline_pixels_per_sec(n_isect, pixels)
+    print(json.dumps({
+        "metric": f"pixels_per_sec_chip_fwd_bwd_{n//1000}k_gaussians_{width}x{height}",
+        "value": round(value, 1),
+        "unit": "pixels/s",
+        "vs_baseline": round(value / roof, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -296,17 +296,19 @@ def rasterize_tiled(
     height,
     bg=None,
     tile_size=16,
-    isect_capacity=None,
+    isect_capacity=None,  # kept for API compat; capacity is N*max_t (static)
     chunk=256,
-    max_tiles_per_gaussian=32,
+    max_tiles_per_gaussian=16,
     interpret=None,
     with_stats=False,
+    need_grad=True,
 ):
     """Full tiled rasterization: binning (XLA) + Pallas fwd/bwd kernels.
 
     Returns (image (H, W, 3), alpha (H, W), depth (H, W)) — plus a stats dict
     (n_isect, n_dropped) when ``with_stats`` — differentiable w.r.t. the
-    gaussian inputs with analytic kernel gradients.
+    gaussian inputs with analytic kernel gradients. ``need_grad=False`` skips
+    building the gradient-reduction inverse map (pure inference renders).
     """
     N = means2d.shape[0]
     ts = tile_size
@@ -314,18 +316,17 @@ def rasterize_tiled(
     ntx = cdiv(width, ts)
     nty = cdiv(height, ts)
     T = ntx * nty
-    if isect_capacity is None:
-        isect_capacity = max(4 * N, 1 << 14)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     binning = isect_tiles(
-        means2d, radii, depths, width, height, ts,
-        capacity=isect_capacity, chunk=chunk,
+        means2d, radii, depths, width, height, ts, chunk=chunk,
         max_tiles_per_gaussian=max_tiles_per_gaussian,
+        need_inverse=need_grad,
     )
-    soa = build_soa(means2d, conics, colors, opacities, depths, binning.padded_gauss)
-    pcap = padded_capacity_for(isect_capacity, T, chunk)
+    soa = build_soa(means2d, conics, colors, opacities, depths,
+                    binning.padded_gauss, binning.slot_to_padded)
+    pcap = padded_capacity_for(N, max_tiles_per_gaussian, T, chunk)
 
     raster = _make_rasterizer(ts, ntx, nty, chunk, pcap, bool(interpret))
     out = raster(soa, binning.padded_starts, binning.counts)  # (T, 8, P)

@@ -19,8 +19,8 @@ width, height = 1920, 1080
 ts, chunk = 16, 256
 ntx, nty = cdiv(width, ts), cdiv(height, ts)
 T = ntx * nty
-cap = 8 * N
-pcap = padded_capacity_for(cap, T, chunk)
+MAXT = 16
+pcap = padded_capacity_for(N, MAXT, T, chunk)
 REPS = 5
 print("backend:", jax.default_backend(), "N:", N, "T:", T, "pcap:", pcap)
 
@@ -51,12 +51,13 @@ def timeit(name, fn, reps=REPS):
 
 
 bin_fn = jax.jit(lambda s: isect_tiles(means2d * s, radii, depths, width, height, ts,
-                                       capacity=cap, chunk=chunk))
+                                       chunk=chunk, max_tiles_per_gaussian=MAXT,
+                                       need_inverse=True))
 binning, t_bin = timeit("isect_tiles (sort+scatter)", bin_fn)
 print("  n_isect:", int(binning.n_isect))
 
 soa_fn = jax.jit(lambda s: build_soa(means2d * s, conics, colors, opac, depths,
-                                     binning.padded_gauss))
+                                     binning.padded_gauss, binning.slot_to_padded))
 soa, t_soa = timeit("build_soa (row gather)", soa_fn)
 
 raster = _make_rasterizer(ts, ntx, nty, chunk, pcap, False)
@@ -73,13 +74,13 @@ _, t_fb = timeit("pallas fwd+bwd kernel", bwd_fn)
 def gather_scatter(s):
     m2 = means2d * s
     def f(m2, c2, col, o, d):
-        s2 = build_soa(m2, c2, col, o, d, binning.padded_gauss)
+        s2 = build_soa(m2, c2, col, o, d, binning.padded_gauss, binning.slot_to_padded)
         return jnp.sum(s2 * soa)
     return jax.grad(f, argnums=(0, 1, 2, 3, 4))(m2, conics, colors, opac, depths)
 
 
 scat_fn = jax.jit(gather_scatter)
-_, t_scat = timeit("gather+scatter-add VJP", scat_fn)
+_, t_scat = timeit("gather+slot-reduce VJP", scat_fn)
 
 px = width * height
 fwd_total = t_bin + t_soa + t_fwd

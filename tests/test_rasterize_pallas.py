@@ -39,7 +39,7 @@ def test_isect_tiles_counts(rng):
     width, height, ts = 64, 48, 16
     args = _screen_gaussians(rng, 50, width, height)
     means2d, conics, colors, opac, depths, radii = args
-    out = isect_tiles(means2d, radii, depths, width, height, ts, capacity=4096, chunk=128)
+    out = isect_tiles(means2d, radii, depths, width, height, ts, chunk=128, max_tiles_per_gaussian=32)
     ntx, nty = 4, 3
     m = np.asarray(means2d); r = np.asarray(radii).astype(float)
     expected = np.zeros((nty * ntx,), np.int64)
@@ -91,7 +91,7 @@ def test_pallas_multichunk_and_early_stop(rng):
     radii = jnp.full((n,), 8, jnp.int32)
     args = (means2d, conics, colors, opac, depths, radii)
 
-    binning = isect_tiles(means2d, radii, depths, width, height, 16, capacity=8192, chunk=128)
+    binning = isect_tiles(means2d, radii, depths, width, height, 16, chunk=128, max_tiles_per_gaussian=32)
     assert int(np.asarray(binning.counts).max()) > 128  # multi-chunk exercised
 
     ref = rasterize_reference(*args, width, height, tile_size=16)
