@@ -45,7 +45,6 @@ def main():
     import jax.numpy as jnp
 
     from gaussian_splatting_tpu.ops.rasterize_pallas import rasterize_tiled
-    from gaussian_splatting_tpu.ops.tiling import isect_tiles
 
     on_tpu = jax.default_backend() == "tpu"
     rng = np.random.default_rng(0)
@@ -81,8 +80,10 @@ def main():
     args = (means2d, conics, colors, opac, depths)
 
     n_isect = int(jax.jit(
-        lambda: isect_tiles(means2d, radii, depths, width, height, 16,
-                            chunk=chunk, max_tiles_per_gaussian=16).n_isect
+        lambda: rasterize_tiled(
+            means2d, conics, colors, opac, depths, radii, width, height,
+            tile_size=16, chunk=chunk, interpret=not on_tpu, with_stats=True,
+        )[3]["n_isect"]
     )())
 
     # Cache-busting seeds: the axon remote layer memoizes pure executions.

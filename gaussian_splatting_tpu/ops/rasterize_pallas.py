@@ -3,30 +3,30 @@
 This is the TPU-native replacement for the reference's external CUDA
 rasterizer (gsplat; invoked at reference ``gsplat_backend.py:83-97``). The
 design is NOT a port of the CUDA kernel's per-pixel sequential blend — it is
-re-derived for the VPU/MXU:
+re-derived for the VPU/MXU and for what XLA does fast around it:
 
-- Grid = one program per 16x16 image tile. Each program sweeps its
-  depth-sorted intersection segment (built by ``ops/tiling.py``) in aligned
-  CHUNK-sized blocks, double-stepping a manual HBM->VMEM DMA.
-- Layout: pixels on *sublanes* (P = 256 rows), chunk entries on *lanes*
-  (K columns). Every reduction the backward pass needs then lands naturally
-  in either row-vector (per-entry grads) or column-vector (per-pixel carries)
-  layout — the kernels contain zero transposes.
-- The sequential front-to-back blend is replaced by a vectorized
-  log-transmittance prefix scan (Hillis-Steele over lanes) plus one MXU
-  matmul per chunk that accumulates [r, g, b, depth, sum_w] simultaneously;
-  ``sum_w`` doubles as ``1 - T_final`` (telescoping), so alpha needs no
-  separate path.
+- XLA side (``ops/tiling.py``): ONE payload-carrying sort builds the
+  kernel-ready depth-sorted SoA; no gathers, no scatters, no re-packing.
+- Grid = one program per image tile. Each program sweeps its (unaligned)
+  intersection segment in CHUNK blocks through an *aligned* (16, 2*CHUNK)
+  VMEM window + dynamic roll — HBM DMA stays tile-aligned while segments
+  start anywhere.
+- Layout: pixels on sublanes (P rows), chunk entries on lanes (K columns).
+  Per-entry gradient reductions land as row vectors, per-pixel carries as
+  columns — zero transposes anywhere.
+- The sequential front-to-back blend is replaced by a transmittance prefix
+  *product* scan (Hillis-Steele over lanes, no log/exp) plus one MXU matmul
+  per chunk accumulating [r, g, b, depth, sum_w]; ``sum_w`` doubles as
+  ``1 - T_final`` (telescoping).
 - Early termination (T <= 1e-4) is a monotone mask inside a chunk and a
   while-loop break across chunks — matching the CUDA semantics exactly.
-- Backward recomputes alphas per chunk (no big residuals) in a single
-  forward-order sweep: the suffix sums the gradient needs are
-  ``Q_total - prefix``, where Q_total falls out of the saved forward output.
-  Per-entry gradients are written to disjoint CHUNK-aligned HBM segments —
-  races are impossible by construction (no atomics, unlike the CUDA bwd).
-
-Gradients w.r.t. per-gaussian parameters are then one XLA scatter-add (the
-VJP of the SoA gather in ``tiling.build_soa``).
+- Backward recomputes alphas per chunk (no big residuals) in one
+  forward-order sweep; suffix sums come from ``Q_total - prefix`` where
+  Q_total falls out of the saved forward output. Per-entry gradients go to a
+  chunk-aligned padded buffer (disjoint per tile — race-free, no atomics),
+  tagged with the gaussian id the kernel echoes from SoA row 11; the XLA
+  side reduces them per gaussian with a payload sort + segmented cumsum
+  (``tiling.reduce_padded_grads``) — never a scatter-add.
 """
 
 import functools
@@ -37,21 +37,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gaussian_splatting_tpu.ops.tiling import (
-    TileBinning,
-    build_soa,
     cdiv,
-    isect_tiles,
+    isect_and_sort,
     padded_capacity_for,
+    reduce_padded_grads,
 )
 
 ALPHA_CLAMP = 0.999
 ALPHA_SKIP = 1.0 / 255.0
 T_EARLY_STOP = 1e-4
+_PREC = jax.lax.Precision.HIGHEST
 
 
 def _prefix_sum_lanes(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Inclusive prefix sum along axis=1 (lanes) via Hillis-Steele:
-    log2(n) shift+masked-add steps. n static power of two."""
+    """Inclusive prefix sum along lanes (axis=1), Hillis-Steele."""
     assert (n & (n - 1)) == 0, "chunk must be a power of two"
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     d = 1
@@ -62,9 +61,8 @@ def _prefix_sum_lanes(x: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 def _prefix_prod_lanes(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Inclusive prefix *product* along lanes. Used for the transmittance
-    chain T_k = prod_{j<=k} (1 - alpha_j) directly — no log1p/exp round trip
-    (3 fewer transcendental passes per chunk than the log-space form)."""
+    """Inclusive prefix *product* along lanes — the transmittance chain
+    T_k = prod_{j<=k}(1 - alpha_j) computed directly, no log1p/exp."""
     assert (n & (n - 1)) == 0, "chunk must be a power of two"
     col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     d = 1
@@ -74,10 +72,10 @@ def _prefix_prod_lanes(x: jnp.ndarray, n: int) -> jnp.ndarray:
     return x
 
 
-def _chunk_alpha(data, px, py):
+def _chunk_alpha(data, px, py, valid):
     """Per-(pixel, entry) alpha for one chunk.
 
-    data: (16, K) SoA chunk; px, py: (P, 1) pixel centers.
+    data: (16, K) SoA chunk; px, py: (P, 1) pixel centers; valid: (1, K).
     Returns alpha (P, K) plus recompute intermediates for backward.
     """
     mx, my = data[0:1, :], data[1:2, :]
@@ -88,7 +86,7 @@ def _chunk_alpha(data, px, py):
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
     vis = jnp.exp(-sigma)
     araw = op * vis
-    contrib = (sigma >= 0.0) & (araw >= ALPHA_SKIP)
+    contrib = (sigma >= 0.0) & (araw >= ALPHA_SKIP) & valid
     alpha = jnp.where(contrib, jnp.minimum(araw, ALPHA_CLAMP), 0.0)
     return alpha, sigma, vis, araw, contrib, dx, dy, ca, cb, cc, op
 
@@ -103,34 +101,48 @@ def _pixel_coords(t, ts, ntx):
     return px, py
 
 
-def _fwd_kernel(starts_ref, counts_ref, soa_ref, out_ref, scratch, sem, *, ts, ntx, chunk):
+def _read_chunk(soa_ref, scratch, sem, base, shift, i, chunk):
+    """Aligned (16, 2K) window DMA + dynamic roll -> the K entries at
+    unaligned offset base + shift + i*K."""
+    off = pl.multiple_of(base + i * chunk, chunk)
+    dma = pltpu.make_async_copy(soa_ref.at[:, pl.ds(off, 2 * chunk)], scratch, sem)
+    dma.start()
+    dma.wait()
+    window = scratch[:]
+    rolled = pltpu.roll(window, 2 * chunk - shift, 1)
+    return rolled[:, :chunk]
+
+
+def _fwd_kernel(starts_ref, counts_ref, soa_ref, out_ref, scratch, sem,
+                *, ts, ntx, chunk):
     P = ts * ts
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
+    shift = jax.lax.rem(start, chunk)
+    base = start - shift
     n_chunks = pl.cdiv(count, chunk)
     px, py = _pixel_coords(t, ts, ntx)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     def body(carry):
         i, acc, tcar = carry
-        off = pl.multiple_of(start + i * chunk, chunk)
-        dma = pltpu.make_async_copy(soa_ref.at[:, pl.ds(off, chunk)], scratch, sem)
-        dma.start()
-        dma.wait()
-        data = scratch[:]
-        alpha, *_ = _chunk_alpha(data, px, py)
-        one_m = 1.0 - alpha                        # >= 1 - ALPHA_CLAMP = 1e-3
+        data = _read_chunk(soa_ref, scratch, sem, base, shift, i, chunk)
+        valid = (i * chunk + col) < count
+        alpha, *_ = _chunk_alpha(data, px, py, valid)
+        one_m = 1.0 - alpha                       # >= 1 - ALPHA_CLAMP
         prod_incl = _prefix_prod_lanes(one_m, chunk)
         t_after = tcar * prod_incl
         mask = t_after > T_EARLY_STOP
         w = jnp.where(mask, alpha * tcar * prod_incl / one_m, 0.0)  # (P, K)
-        extras = data[6:14, :]  # rows r, g, b, depth, one, 0, 0, 0 -> (8, K)
+        extras = data[6:14, :]  # rows r, g, b, depth, one, gid, 0, 0
+        ew = jnp.concatenate(
+            [extras[0:5], jnp.zeros((3, chunk), jnp.float32)], axis=0
+        )  # keep rgb+depth+one; gid row must not blend
         acc = acc + jax.lax.dot_general(
-            extras, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            ew, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
         )  # (8, P)
-        # prod over *included* entries = value of the monotone-decreasing
-        # inclusive scan at the last included lane = min over masked lanes.
         tcar = tcar * jnp.min(jnp.where(mask, prod_incl, 1.0), axis=1, keepdims=True)
         return i + 1, acc, tcar
 
@@ -147,34 +159,34 @@ def _fwd_kernel(starts_ref, counts_ref, soa_ref, out_ref, scratch, sem, *, ts, n
     out_ref[0] = acc
 
 
-def _bwd_kernel(
-    starts_ref, counts_ref, soa_ref, aux_ref, grad_ref, scratch, gscratch, sem, wsem,
-    *, ts, ntx, chunk,
-):
+def _bwd_kernel(starts_ref, counts_ref, pstarts_ref, soa_ref, aux_ref, grad_ref,
+                scratch, gscratch, sem, wsem, *, ts, ntx, chunk, n_gaussians):
     P = ts * ts
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
+    pstart = pstarts_ref[t]
+    shift = jax.lax.rem(start, chunk)
+    base = start - shift
     n_chunks = pl.cdiv(count, chunk)
     px, py = _pixel_coords(t, ts, ntx)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
     gpix = aux_ref[0, 0:8, :]   # (8, P) cotangent of the forward accumulators
     fout = aux_ref[0, 8:16, :]  # (8, P) saved forward output
     ones8 = jnp.ones((8, 1), jnp.float32)
-    # Q_total per pixel, in column layout: sum_ch gpix*fout -> (P, 1).
     q_col = jax.lax.dot_general(
-        gpix * fout, ones8, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-    )
+        gpix * fout, ones8, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PREC,
+    )  # (P, 1): Q_total per pixel
 
     def body(i, carry):
         tcar, pcar = carry
-        off = pl.multiple_of(start + i * chunk, chunk)
-        dma = pltpu.make_async_copy(soa_ref.at[:, pl.ds(off, chunk)], scratch, sem)
-        dma.start()
-        dma.wait()
-        data = scratch[:]
-        alpha, sigma, vis, araw, contrib, dx, dy, ca, cb, cc, op = _chunk_alpha(data, px, py)
+        data = _read_chunk(soa_ref, scratch, sem, base, shift, i, chunk)
+        valid = (i * chunk + col) < count
+        alpha, sigma, vis, araw, contrib, dx, dy, ca, cb, cc, op = _chunk_alpha(
+            data, px, py, valid
+        )
         one_m = 1.0 - alpha
         prod_incl = _prefix_prod_lanes(one_m, chunk)
         t_after = tcar * prod_incl
@@ -183,14 +195,17 @@ def _bwd_kernel(
         w = jnp.where(mask, alpha * t_before, 0.0)
 
         extras = data[6:14, :]
+        ew = jnp.concatenate(
+            [extras[0:5], jnp.zeros((3, chunk), jnp.float32)], axis=0
+        )
         gw = jax.lax.dot_general(
-            gpix, extras, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            gpix, ew, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
         )  # (P, K)
         gww = gw * w
-        prefix_incl = pcar + _prefix_sum_lanes(gww, chunk)  # (P, K)
+        prefix_incl = pcar + _prefix_sum_lanes(gww, chunk)
         suffix = q_col - prefix_incl
-        d_alpha = jnp.where(mask, gw * t_before - suffix / (1.0 - alpha), 0.0)
+        d_alpha = jnp.where(mask, gw * t_before - suffix / one_m, 0.0)
 
         gate = contrib & (araw <= ALPHA_CLAMP)
         d_op_pg = jnp.where(gate, d_alpha * vis, 0.0)
@@ -203,19 +218,23 @@ def _bwd_kernel(
         dcc = jnp.sum(0.5 * dy * dy * d_sigma, axis=0, keepdims=True)
         dop = jnp.sum(d_op_pg, axis=0, keepdims=True)
         d_extras = jax.lax.dot_general(
-            gpix, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (8, K): dr, dg, db, ddepth, d_one(discarded), 0, 0, 0
+            gpix, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )  # (8, K): dr, dg, db, ddepth, d_one(drop), ...
 
+        gid = jnp.where(valid, data[11:12, :], float(n_gaussians))
         gscratch[0:1, :] = dmx
         gscratch[1:2, :] = dmy
         gscratch[2:3, :] = dca
         gscratch[3:4, :] = dcb
         gscratch[4:5, :] = dcc
         gscratch[5:6, :] = dop
-        gscratch[6:14, :] = d_extras
-        gscratch[14:16, :] = jnp.zeros((2, chunk), jnp.float32)
-        wdma = pltpu.make_async_copy(gscratch, grad_ref.at[:, pl.ds(off, chunk)], wsem)
+        gscratch[6:10, :] = d_extras[0:4, :]   # dr, dg, db, ddepth
+        gscratch[10:11, :] = jnp.zeros((1, chunk), jnp.float32)
+        gscratch[11:12, :] = gid
+        gscratch[12:16, :] = jnp.zeros((4, chunk), jnp.float32)
+        woff = pl.multiple_of(pstart + i * chunk, chunk)
+        wdma = pltpu.make_async_copy(gscratch, grad_ref.at[:, pl.ds(woff, chunk)], wsem)
         wdma.start()
         wdma.wait()
 
@@ -223,14 +242,17 @@ def _bwd_kernel(
         pcar = pcar + jnp.sum(gww, axis=1, keepdims=True)
         return tcar, pcar
 
-    init = (jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32))
-    jax.lax.fori_loop(0, n_chunks, body, init)
+    jax.lax.fori_loop(
+        0, n_chunks, body,
+        (jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)),
+    )
 
 
 @functools.lru_cache(maxsize=None)
-def _make_rasterizer(ts, ntx, nty, chunk, pcap, interpret):
+def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret):
     P = ts * ts
     T = ntx * nty
+    pcap = padded_capacity_for(N, max_t, T, chunk)
 
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, ts=ts, ntx=ntx, chunk=chunk),
@@ -239,16 +261,19 @@ def _make_rasterizer(ts, ntx, nty, chunk, pcap, interpret):
             grid=(T,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((1, 8, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((16, chunk), jnp.float32), pltpu.SemaphoreType.DMA(())],
+            scratch_shapes=[
+                pltpu.VMEM((16, 2 * chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
         interpret=interpret,
     )
 
     bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, ts=ts, ntx=ntx, chunk=chunk),
+        functools.partial(_bwd_kernel, ts=ts, ntx=ntx, chunk=chunk, n_gaussians=N),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(T,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -256,7 +281,7 @@ def _make_rasterizer(ts, ntx, nty, chunk, pcap, interpret):
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((16, chunk), jnp.float32),
+                pltpu.VMEM((16, 2 * chunk), jnp.float32),
                 pltpu.VMEM((16, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
@@ -268,21 +293,37 @@ def _make_rasterizer(ts, ntx, nty, chunk, pcap, interpret):
     )
 
     @jax.custom_vjp
-    def raster(soa, starts, counts):
-        return fwd_call(starts, counts, soa)
+    def core(means2d, conics, colors, opacities, depths, radii):
+        b = isect_and_sort(
+            means2d, conics, colors, opacities, depths, radii,
+            width, height, ts, chunk, max_t,
+        )
+        out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
+        return out, b.n_isect, b.n_dropped
 
-    def fwd(soa, starts, counts):
-        out = fwd_call(starts, counts, soa)
-        return out, (soa, starts, counts, out)
+    def fwd(means2d, conics, colors, opacities, depths, radii):
+        b = isect_and_sort(
+            means2d, conics, colors, opacities, depths, radii,
+            width, height, ts, chunk, max_t,
+        )
+        out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
+        res = (b.sorted_soa, b.tile_starts, b.counts, b.padded_starts, out)
+        return (out, b.n_isect, b.n_dropped), res
 
-    def bwd(res, g):
-        soa, starts, counts, out = res
+    def bwd(res, cts):
+        g = cts[0]  # (T, 8, P); stats cotangents ignored
+        soa, tile_starts, counts, padded_starts, out = res
         aux = jnp.concatenate([g, out], axis=1)  # (T, 16, P)
-        gsoa = bwd_call(starts, counts, soa, aux)
-        return gsoa, None, None
+        grad_padded = bwd_call(tile_starts, counts, padded_starts, soa, aux)
+        n_written = jnp.int32(chunk) * jnp.sum(cdiv(counts, chunk))
+        gr = reduce_padded_grads(grad_padded, N, n_written)
+        d_means2d = jnp.stack([gr["dmx"], gr["dmy"]], axis=-1)
+        d_conics = jnp.stack([gr["dca"], gr["dcb"], gr["dcc"]], axis=-1)
+        d_colors = jnp.stack([gr["dr"], gr["dg"], gr["db"]], axis=-1)
+        return d_means2d, d_conics, d_colors, gr["dop"], gr["ddepth"], None
 
-    raster.defvjp(fwd, bwd)
-    return raster
+    core.defvjp(fwd, bwd)
+    return core
 
 
 def rasterize_tiled(
@@ -296,40 +337,29 @@ def rasterize_tiled(
     height,
     bg=None,
     tile_size=16,
-    isect_capacity=None,  # kept for API compat; capacity is N*max_t (static)
+    isect_capacity=None,   # kept for API compat; capacity is N*max_t (static)
     chunk=256,
     max_tiles_per_gaussian=16,
     interpret=None,
     with_stats=False,
-    need_grad=True,
 ):
-    """Full tiled rasterization: binning (XLA) + Pallas fwd/bwd kernels.
+    """Full tiled rasterization: payload-sort binning (XLA) + Pallas fwd/bwd.
 
     Returns (image (H, W, 3), alpha (H, W), depth (H, W)) — plus a stats dict
     (n_isect, n_dropped) when ``with_stats`` — differentiable w.r.t. the
-    gaussian inputs with analytic kernel gradients. ``need_grad=False`` skips
-    building the gradient-reduction inverse map (pure inference renders).
+    gaussian inputs with analytic kernel gradients.
     """
     N = means2d.shape[0]
     ts = tile_size
     assert ts * ts in (64, 256, 1024), "tile_size must be 8, 16, or 32"
     ntx = cdiv(width, ts)
     nty = cdiv(height, ts)
-    T = ntx * nty
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    binning = isect_tiles(
-        means2d, radii, depths, width, height, ts, chunk=chunk,
-        max_tiles_per_gaussian=max_tiles_per_gaussian,
-        need_inverse=need_grad,
-    )
-    soa = build_soa(means2d, conics, colors, opacities, depths,
-                    binning.padded_gauss, binning.slot_to_padded)
-    pcap = padded_capacity_for(N, max_tiles_per_gaussian, T, chunk)
-
-    raster = _make_rasterizer(ts, ntx, nty, chunk, pcap, bool(interpret))
-    out = raster(soa, binning.padded_starts, binning.counts)  # (T, 8, P)
+    core = _make_core(ts, ntx, nty, chunk, N, max_tiles_per_gaussian,
+                      width, height, bool(interpret))
+    out, n_isect, n_dropped = core(means2d, conics, colors, opacities, depths, radii)
 
     img = out.reshape(nty, ntx, 8, ts, ts).transpose(0, 3, 1, 4, 2)
     img = img.reshape(nty * ts, ntx * ts, 8)[:height, :width]
@@ -339,7 +369,5 @@ def rasterize_tiled(
     if bg is not None:
         rgb = rgb + (1.0 - alpha_img)[..., None] * bg[None, None, :]
     if with_stats:
-        return rgb, alpha_img, depth_img, {
-            "n_isect": binning.n_isect, "n_dropped": binning.n_dropped,
-        }
+        return rgb, alpha_img, depth_img, {"n_isect": n_isect, "n_dropped": n_dropped}
     return rgb, alpha_img, depth_img

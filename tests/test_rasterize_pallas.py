@@ -13,7 +13,7 @@ from gaussian_splatting_tpu.core.cameras import look_at, make_intrinsics
 from gaussian_splatting_tpu.core.sh import rgb_to_sh0
 from gaussian_splatting_tpu.ops.rasterize_ref import rasterize_reference
 from gaussian_splatting_tpu.ops.rasterize_pallas import rasterize_tiled
-from gaussian_splatting_tpu.ops.tiling import isect_tiles
+from gaussian_splatting_tpu.ops.tiling import isect_and_sort
 from gaussian_splatting_tpu.ops.render import render
 
 
@@ -39,7 +39,8 @@ def test_isect_tiles_counts(rng):
     width, height, ts = 64, 48, 16
     args = _screen_gaussians(rng, 50, width, height)
     means2d, conics, colors, opac, depths, radii = args
-    out = isect_tiles(means2d, radii, depths, width, height, ts, chunk=128, max_tiles_per_gaussian=32)
+    out = isect_and_sort(means2d, conics, colors, opac, depths, radii,
+                        width, height, ts, chunk=128, max_tiles_per_gaussian=32)
     ntx, nty = 4, 3
     m = np.asarray(means2d); r = np.asarray(radii).astype(float)
     expected = np.zeros((nty * ntx,), np.int64)
@@ -56,8 +57,15 @@ def test_isect_tiles_counts(rng):
     np.testing.assert_array_equal(np.asarray(out.counts), expected)
     assert int(out.n_dropped) == 0
     assert int(out.n_isect) == expected.sum()
-    # Padded starts are chunk-aligned.
+    # Gradient-buffer starts are chunk-aligned; segment starts consistent.
     assert (np.asarray(out.padded_starts) % 128 == 0).all()
+    starts = np.asarray(out.tile_starts)
+    np.testing.assert_array_equal(np.diff(starts), expected)
+    # Depth order within each tile's segment.
+    depths_sorted = np.asarray(out.sorted_soa[9])
+    for t in range(nty * ntx):
+        seg = depths_sorted[starts[t]:starts[t + 1]]
+        assert (np.diff(seg) >= 0).all()
 
 
 @pytest.mark.parametrize("shape", [(64, 48), (40, 24)])
@@ -91,7 +99,8 @@ def test_pallas_multichunk_and_early_stop(rng):
     radii = jnp.full((n,), 8, jnp.int32)
     args = (means2d, conics, colors, opac, depths, radii)
 
-    binning = isect_tiles(means2d, radii, depths, width, height, 16, chunk=128, max_tiles_per_gaussian=32)
+    binning = isect_and_sort(means2d, conics, colors, opac, depths, radii,
+                            width, height, 16, chunk=128, max_tiles_per_gaussian=32)
     assert int(np.asarray(binning.counts).max()) > 128  # multi-chunk exercised
 
     ref = rasterize_reference(*args, width, height, tile_size=16)
