@@ -182,6 +182,14 @@ class GaussianTrainer:
             )
         log.info("capacity %d, alive %d", state.gauss.capacity, int(state.gauss.n_alive()))
 
+        if points_f is not None and len(points_f) > 0 and not resume_from:
+            try:
+                self.debug_reprojection(
+                    points_f, dataset.viewmats[0], dataset.Ks[0],
+                    dataset.images[0], str(out / "debug_reproj.png"))
+            except Exception as e:
+                log.warning("debug reprojection failed: %s", e)
+
         # --- device-resident dataset + train/val split (trainer.py:246-268) ---
         rng = np.random.RandomState(cfg.val_seed)
         n_val = (0 if V < 4 else
@@ -326,11 +334,49 @@ class GaussianTrainer:
                 export_state_ply(state.gauss, str(out / f"checkpoint_{it}.ply"))
                 log.info("checkpoint @%d -> %s", it, ck)
 
-        # Final save + export (train.py:135-137).
+        # Final save + export (train.py:135-137) + local summary plots
+        # (reference draw_graphs, trainer.py:1004-1034).
         save_checkpoint(str(out / "final.npz"), state, extra={"scene_extent": extent})
         n = export_state_ply(state.gauss, str(out / "final.ply"))
         log.info("final export: %d gaussians", n)
+        try:
+            from gaussian_splatting_tpu.utils.plots import draw_graphs
+
+            draw_graphs(self.logger.path, str(out))
+        except Exception as e:  # plots are best-effort
+            log.warning("summary plots failed: %s", e)
         return state
+
+    # ---- debug -----------------------------------------------------------
+
+    @staticmethod
+    def debug_reprojection(points_3d, pose, K, frame_rgb, out_path="debug_reproj.png"):
+        """Project the SfM cloud into the first view and overlay red dots —
+        the reference's init sanity image (``trainer.py:189-226``)."""
+        import numpy as _np
+        from PIL import Image
+
+        X = _np.asarray(points_3d, _np.float64)
+        img = _np.asarray(frame_rgb).copy()
+        finite = _np.isfinite(X).all(axis=1)
+        X = X[finite]
+        if len(X):
+            Xh = _np.hstack([X, _np.ones((len(X), 1))])
+            with _np.errstate(over="ignore", invalid="ignore", divide="ignore"):
+                Xc = (_np.asarray(pose) @ Xh.T).T
+            z = Xc[:, 2]
+            good = (z > 1e-3) & _np.isfinite(Xc).all(axis=1)
+            Xc = Xc[good]
+            if len(Xc):
+                with _np.errstate(over="ignore", invalid="ignore", divide="ignore"):
+                    uvw = (_np.asarray(K) @ Xc[:, :3].T).T
+                    uv = uvw[:, :2] / uvw[:, 2:3]
+                uv = uv[_np.isfinite(uv).all(axis=1)].astype(int)
+                h, w = img.shape[:2]
+                inb = (uv[:, 0] >= 0) & (uv[:, 0] < w) & (uv[:, 1] >= 0) & (uv[:, 1] < h)
+                img[uv[inb, 1], uv[inb, 0]] = (255, 0, 0)
+        Image.fromarray(img).save(out_path)
+        return img
 
     # ---- validation ------------------------------------------------------
 

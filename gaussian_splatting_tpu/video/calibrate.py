@@ -92,6 +92,98 @@ class Calibrator:
                 log.info("intrinsics Sampson check: %.3f px (focal %.1f)", err, f)
         return K
 
+    def refine_focal_bundle_adjustment(
+        self, K: np.ndarray, frames: List[np.ndarray], max_pairs: int = 4,
+    ) -> np.ndarray:
+        """Focal-only bundle adjustment: optimize f to minimize two-view
+        reprojection error over sample pairs (the reference ships this but
+        leaves it commented out, ``calibrate.py:162-283,371``; here it works
+        and is opt-in). Pose+structure re-estimated per candidate focal via
+        essential-matrix decomposition + triangulation; scipy least_squares
+        on the residual stack."""
+        from scipy.optimize import least_squares
+
+        pairs = []
+        step = max(1, len(frames) // (max_pairs + 1))
+        for i in range(0, len(frames) - step, step):
+            p1, p2 = self.match_pair(frames[i], frames[i + step])
+            if len(p1) >= 30:
+                pairs.append((p1, p2))
+            if len(pairs) >= max_pairs:
+                break
+        if not pairs:
+            return K
+        w2, h2 = K[0, 2], K[1, 2]
+
+        def residuals(params):
+            f = abs(params[0])
+            Kc = np.array([[f, 0, w2], [0, f, h2], [0, 0, 1.0]])
+            res = []
+            for p1, p2 in pairs:
+                E, mask = cv2.findEssentialMat(p1, p2, Kc, method=cv2.RANSAC,
+                                               prob=0.999, threshold=1.0)
+                if E is None or E.shape != (3, 3):
+                    res.append(np.full(32, 10.0))
+                    continue
+                _, R, t, maskP = cv2.recoverPose(E, p1, p2, Kc, mask=mask)
+                inl = maskP.ravel().astype(bool)
+                if inl.sum() < 8:
+                    res.append(np.full(32, 10.0))
+                    continue
+                P1 = Kc @ np.eye(4)[:3]
+                pose2 = np.eye(4)
+                pose2[:3, :3] = R
+                pose2[:3, 3] = t.ravel()
+                P2 = Kc @ pose2[:3]
+                Xh = cv2.triangulatePoints(P1, P2, p1[inl].T.astype(np.float64),
+                                           p2[inl].T.astype(np.float64))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    X = (Xh[:3] / Xh[3:4]).T
+                    uvw = (P2 @ np.hstack([X, np.ones((len(X), 1))]).T).T
+                    uv = uvw[:, :2] / uvw[:, 2:3]
+                err = np.linalg.norm(uv - p2[inl], axis=1)
+                err = err[np.isfinite(err)][:32]
+                res.append(np.clip(err, 0, 10.0))
+            return np.concatenate(res) if res else np.zeros(1)
+
+        try:
+            sol = least_squares(residuals, x0=[K[0, 0]], method="trf",
+                                diff_step=0.02, max_nfev=20)
+            f_new = float(abs(sol.x[0]))
+            if 0.3 * K[0, 0] < f_new < 3.0 * K[0, 0]:
+                K = K.copy()
+                K[0, 0] = K[1, 1] = f_new
+                log.info("focal BA: %.1f px", f_new)
+        except Exception as e:
+            log.warning("focal BA failed: %s", e)
+        return K
+
+    def match_with_loftr(self, frame1, frame2, conf: float = 0.5):
+        """Dense neural matching via kornia LoFTR when available (the
+        reference's optional path, ``calibrate.py:127-160``); this
+        environment has no kornia, so it raises a clear error and callers
+        fall back to SIFT."""
+        try:
+            import kornia  # noqa: F401
+            import torch
+        except ImportError as e:
+            raise RuntimeError(
+                "LoFTR matching requires kornia (not installed); use matcher='sift'"
+            ) from e
+        from kornia.feature import LoFTR  # pragma: no cover
+
+        matcher = LoFTR(pretrained="outdoor")
+        g1 = cv2.cvtColor(frame1, cv2.COLOR_BGR2GRAY).astype(np.float32) / 255.0
+        g2 = cv2.cvtColor(frame2, cv2.COLOR_BGR2GRAY).astype(np.float32) / 255.0
+        inp = {
+            "image0": torch.tensor(g1)[None, None],
+            "image1": torch.tensor(g2)[None, None],
+        }
+        with torch.no_grad():
+            out = matcher(inp)
+        keep = out["confidence"].numpy() > conf
+        return out["keypoints0"].numpy()[keep], out["keypoints1"].numpy()[keep]
+
     def validate_intrinsics(self, K: np.ndarray, frames: List[np.ndarray]) -> Optional[float]:
         """Median Sampson distance of F-inlier matches on consecutive sample
         pairs (reference ``calibrate.py:285-331``). Returns None if not enough

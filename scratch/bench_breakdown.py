@@ -1,8 +1,5 @@
-"""Break down rasterizer time: binning sort, SoA gather, pallas fwd, pallas
-bwd, scatter-add VJP.
-
-The axon remote-TPU layer memoizes pure executions on identical inputs, so
-every timed call gets a slightly different input (cache-busting seeds)."""
+"""v3 breakdown: payload-sort binning, pallas fwd, pallas fwd+bwd with
+sort-based grad reduction. Cache-busting seeds defeat the axon memoizer."""
 
 import time
 import sys
@@ -11,18 +8,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gaussian_splatting_tpu.ops.tiling import isect_tiles, build_soa, padded_capacity_for, cdiv
-from gaussian_splatting_tpu.ops.rasterize_pallas import _make_rasterizer
+from gaussian_splatting_tpu.ops.tiling import isect_and_sort
+from gaussian_splatting_tpu.ops.rasterize_pallas import rasterize_tiled
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
 width, height = 1920, 1080
-ts, chunk = 16, 256
-ntx, nty = cdiv(width, ts), cdiv(height, ts)
-T = ntx * nty
+ts = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+chunk = 256
 MAXT = 16
-pcap = padded_capacity_for(N, MAXT, T, chunk)
 REPS = 5
-print("backend:", jax.default_backend(), "N:", N, "T:", T, "pcap:", pcap)
+print(f"backend: {jax.default_backend()} N: {N} ts: {ts} chunk: {chunk} maxt: {MAXT}")
 
 rng = np.random.default_rng(0)
 means2d = jnp.asarray(rng.uniform([0, 0], [width, height], size=(N, 2)), jnp.float32)
@@ -50,40 +45,27 @@ def timeit(name, fn, reps=REPS):
     return out, dt
 
 
-bin_fn = jax.jit(lambda s: isect_tiles(means2d * s, radii, depths, width, height, ts,
-                                       chunk=chunk, max_tiles_per_gaussian=MAXT,
-                                       need_inverse=True))
-binning, t_bin = timeit("isect_tiles (sort+scatter)", bin_fn)
-print("  n_isect:", int(binning.n_isect))
+b, t_bin = timeit("isect_and_sort (payload sort)", jax.jit(
+    lambda s: isect_and_sort(means2d * s, conics, colors, opac, depths, radii,
+                             width, height, ts, chunk, MAXT)))
+print("  n_isect:", int(b.n_isect), " dropped:", int(b.n_dropped))
 
-soa_fn = jax.jit(lambda s: build_soa(means2d * s, conics, colors, opac, depths,
-                                     binning.padded_gauss, binning.slot_to_padded))
-soa, t_soa = timeit("build_soa (row gather)", soa_fn)
-
-raster = _make_rasterizer(ts, ntx, nty, chunk, pcap, False)
-fwd_fn = jax.jit(lambda s: raster(soa * s, binning.padded_starts, binning.counts))
-out, t_fwd = timeit("pallas fwd kernel", fwd_fn)
-
-g = jnp.ones_like(out)
-bwd_fn = jax.jit(
-    lambda s: jax.vjp(lambda x: raster(x, binning.padded_starts, binning.counts), soa * s)[1](g)[0]
-)
-_, t_fb = timeit("pallas fwd+bwd kernel", bwd_fn)
+fwd = jax.jit(lambda s: rasterize_tiled(
+    means2d * s, conics, colors, opac, depths, radii, width, height,
+    tile_size=ts, chunk=chunk, max_tiles_per_gaussian=MAXT, interpret=False)[0])
+_, t_fwd = timeit("full fwd (sort+kernel)", fwd)
 
 
-def gather_scatter(s):
-    m2 = means2d * s
-    def f(m2, c2, col, o, d):
-        s2 = build_soa(m2, c2, col, o, d, binning.padded_gauss, binning.slot_to_padded)
-        return jnp.sum(s2 * soa)
-    return jax.grad(f, argnums=(0, 1, 2, 3, 4))(m2, conics, colors, opac, depths)
+def loss(m, c2, col, o, dd, s_):
+    img, alpha, depth = rasterize_tiled(
+        m * s_, c2, col, o, dd, radii, width, height,
+        tile_size=ts, chunk=chunk, max_tiles_per_gaussian=MAXT, interpret=False)
+    return jnp.sum(img) + jnp.sum(alpha) + 0.01 * jnp.sum(depth)
 
 
-scat_fn = jax.jit(gather_scatter)
-_, t_scat = timeit("gather+slot-reduce VJP", scat_fn)
+g = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
+_, t_all = timeit("full fwd+bwd (incl grad reduce)",
+                  lambda s: g(means2d, conics, colors, opac, depths, s))
 
 px = width * height
-fwd_total = t_bin + t_soa + t_fwd
-bwd_total = t_bin + t_soa + t_fb + (t_scat - t_soa)
-print(f"\nfwd total {fwd_total*1e3:.1f} ms -> {px/fwd_total/1e6:.1f} Mpix/s")
-print(f"fwd+bwd total {bwd_total*1e3:.1f} ms -> {px/bwd_total/1e6:.1f} Mpix/s")
+print(f"\nfwd  {px/t_fwd/1e6:.1f} Mpix/s   fwd+bwd {px/t_all/1e6:.1f} Mpix/s")
