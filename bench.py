@@ -44,6 +44,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from gaussian_splatting_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     from gaussian_splatting_tpu.ops.rasterize_pallas import rasterize_tiled
 
     on_tpu = jax.default_backend() == "tpu"

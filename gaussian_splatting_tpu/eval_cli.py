@@ -66,7 +66,12 @@ def main(argv=None) -> int:
     p.add_argument("--matcher", default="sift")
     p.add_argument("--use-sfm-cache", action="store_true", default=True)
     p.add_argument("--backend", choices=["auto", "pallas", "ref"], default="auto")
+    p.add_argument("--cache-dir", default="./cache")
     args = p.parse_args(argv)
+
+    from gaussian_splatting_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
 
     import jax
     import jax.numpy as jnp
@@ -85,7 +90,7 @@ def main(argv=None) -> int:
     n_exported = export_state_ply(gauss, str(out / "model.ply"))
     log.info("model: %d gaussians", n_exported)
 
-    proc = MultiVideoProcessor(matcher=args.matcher)
+    proc = MultiVideoProcessor(matcher=args.matcher, cache_dir=args.cache_dir)
     merged = proc.process_videos(args.videos, stride=args.frame_stride,
                                  use_cache=args.use_sfm_cache)
     ds = build_dataset(merged)

@@ -128,16 +128,12 @@ def init_random(n: int, capacity: Optional[int] = None, seed: int = 0) -> Gaussi
 
 
 def knn_mean_distance(points: np.ndarray, queries: np.ndarray, k: int = 7) -> np.ndarray:
-    """Mean distance to the k-1 nearest neighbors (excluding self), host-side
-    KD-tree — init-time only, mirroring reference ``trainer.py:172-186``."""
-    from scipy.spatial import cKDTree
+    """Mean distance to the k-1 nearest neighbors (excluding self) — native
+    C++ grid-hash kNN (native/pointops.cpp) with scipy KD-tree fallback;
+    init-time only, mirroring reference ``trainer.py:172-186``."""
+    from gaussian_splatting_tpu.utils.native import knn_mean_distance as _knn
 
-    k = min(k, len(points))
-    tree = cKDTree(points)
-    dists, _ = tree.query(queries, k=k)
-    if k > 1:
-        return dists[:, 1:].mean(axis=1)
-    return dists[:, 0]
+    return _knn(points, queries, k=min(k, len(points)))
 
 
 def init_from_points(

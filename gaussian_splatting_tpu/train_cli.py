@@ -107,6 +107,10 @@ def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")
     args = build_parser().parse_args(argv)
+
+    from gaussian_splatting_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     cfg = config_from_args(args)
 
     from gaussian_splatting_tpu.training.trainer import GaussianTrainer

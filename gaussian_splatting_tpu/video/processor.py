@@ -113,14 +113,15 @@ class MultiVideoProcessor:
 
     @staticmethod
     def _dedupe(points: np.ndarray, colors: np.ndarray, radius: float = 0.01):
+        """Drop near-duplicate points (radius 0.01, reference
+        ``multi_video_processor.py:219-252``) — native grid-hash dedupe with
+        scipy fallback."""
         if len(points) == 0:
             return points, colors
-        tree = cKDTree(points)
-        pairs = tree.query_pairs(radius, output_type="ndarray")
-        drop = np.zeros(len(points), bool)
-        if len(pairs):
-            drop[pairs[:, 1]] = True
-        return points[~drop], colors[~drop] if len(colors) == len(points) else colors
+        from gaussian_splatting_tpu.utils.native import radius_dedupe
+
+        keep = radius_dedupe(points, radius)
+        return points[keep], colors[keep] if len(colors) == len(points) else colors
 
     def process_videos(self, video_paths: List[str], stride: int = 30,
                        use_cache: bool = True) -> Dict:
