@@ -125,9 +125,35 @@ def _fwd_kernel(starts_ref, counts_ref, soa_ref, out_ref, scratch, sem,
     px, py = _pixel_coords(t, ts, ntx)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
+    # Double-buffered aligned-window DMA: slot i%2 computes while slot
+    # (i+1)%2 prefetches the next chunk.
+    def start_dma(i):
+        off = pl.multiple_of(base + i * chunk, chunk)
+        pltpu.make_async_copy(
+            soa_ref.at[:, pl.ds(off, 2 * chunk)],
+            scratch.at[jax.lax.rem(i, 2)],
+            sem.at[jax.lax.rem(i, 2)],
+        ).start()
+
+    @pl.when(n_chunks > 0)
+    def _():
+        start_dma(jnp.int32(0))
+
     def body(carry):
         i, acc, tcar = carry
-        data = _read_chunk(soa_ref, scratch, sem, base, shift, i, chunk)
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            start_dma(i + 1)
+
+        slot = jax.lax.rem(i, 2)
+        off = pl.multiple_of(base + i * chunk, chunk)
+        pltpu.make_async_copy(
+            soa_ref.at[:, pl.ds(off, 2 * chunk)], scratch.at[slot], sem.at[slot]
+        ).wait()
+        window = scratch[slot]
+        data = pltpu.roll(window, 2 * chunk - shift, 1)[:, :chunk]
+
         valid = (i * chunk + col) < count
         alpha, *_ = _chunk_alpha(data, px, py, valid)
         one_m = 1.0 - alpha                       # >= 1 - ALPHA_CLAMP
@@ -155,7 +181,18 @@ def _fwd_kernel(starts_ref, counts_ref, soa_ref, out_ref, scratch, sem,
         jnp.zeros((8, P), jnp.float32),
         jnp.ones((P, 1), jnp.float32),
     )
-    _, acc, _ = jax.lax.while_loop(cond, body, init)
+    ie, acc, _ = jax.lax.while_loop(cond, body, init)
+
+    # Drain the prefetch issued for the chunk after an early exit.
+    @pl.when(ie < n_chunks)
+    def _():
+        off = pl.multiple_of(base + ie * chunk, chunk)
+        pltpu.make_async_copy(
+            soa_ref.at[:, pl.ds(off, 2 * chunk)],
+            scratch.at[jax.lax.rem(ie, 2)],
+            sem.at[jax.lax.rem(ie, 2)],
+        ).wait()
+
     out_ref[0] = acc
 
 
@@ -181,6 +218,27 @@ def _bwd_kernel(starts_ref, counts_ref, pstarts_ref, soa_ref, aux_ref, grad_ref,
     )  # (P, 1): Q_total per pixel
 
     def body(i, carry):
+        tcar, pcar = carry
+        # Early-termination skip: once every pixel is saturated, remaining
+        # chunks have zero gradients — write zeros + sentinel ids without
+        # even reading the input.
+        return jax.lax.cond(
+            jnp.max(tcar) > T_EARLY_STOP,
+            lambda c: _bwd_active(i, c),
+            lambda c: _bwd_skip(i, c),
+            carry,
+        )
+
+    def _bwd_skip(i, carry):
+        gscratch[:, :] = jnp.zeros((16, chunk), jnp.float32)
+        gscratch[11:12, :] = jnp.full((1, chunk), float(n_gaussians), jnp.float32)
+        woff = pl.multiple_of(pstart + i * chunk, chunk)
+        wdma = pltpu.make_async_copy(gscratch, grad_ref.at[:, pl.ds(woff, chunk)], wsem)
+        wdma.start()
+        wdma.wait()
+        return carry
+
+    def _bwd_active(i, carry):
         tcar, pcar = carry
         data = _read_chunk(soa_ref, scratch, sem, base, shift, i, chunk)
         valid = (i * chunk + col) < count
@@ -262,8 +320,8 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret):
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((1, 8, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((16, 2 * chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, 16, 2 * chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
