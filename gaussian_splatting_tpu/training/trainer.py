@@ -202,6 +202,22 @@ class GaussianTrainer:
         d_viewmats = jax.device_put(dataset.viewmats.astype(np.float32))
         d_Ks = jax.device_put(dataset.Ks.astype(np.float32))
 
+        # --- multi-chip mesh (first-class; the reference's --distributed flag
+        # is dead code, SURVEY §2.12) ---
+        mesh = None
+        h_pad = height
+        if cfg.mesh_data * cfg.mesh_tile > 1:
+            from gaussian_splatting_tpu.parallel.mesh import make_mesh
+            from gaussian_splatting_tpu.parallel.sharded_step import (
+                make_sharded_train_step,
+                pad_images_for_bands,
+            )
+
+            mesh = make_mesh(data=cfg.mesh_data, model=cfg.mesh_tile)
+            log.info("training on mesh %s", dict(mesh.shape))
+            if cfg.batch_size % cfg.mesh_data != 0:
+                raise ValueError("batch_size must divide mesh_data")
+
         @jax.jit
         def gather_batch(idx):
             return ViewBatch(
@@ -215,16 +231,38 @@ class GaussianTrainer:
 
         # --- step compiler cache over (sh_degree, capacity) ---
         step_cache: Dict = {}
+        self._band_pad = [None]
 
         def get_step(sh_degree: int, capacity: int):
             key = (sh_degree, capacity)
             if key not in step_cache:
                 t0 = time.time()
-                step_cache[key] = make_train_step(
-                    cfg, width, height, sh_degree, self.backend,
-                    self._isect_capacity(capacity), extent,
-                    donate=cfg.donate_step_buffers,
-                )
+                if mesh is not None:
+                    from gaussian_splatting_tpu.parallel.sharded_step import (
+                        make_sharded_train_step,
+                        pad_images_for_bands,
+                    )
+
+                    sstep, band_h, hp = make_sharded_train_step(
+                        cfg, mesh, width, height, sh_degree, self.backend,
+                        self._isect_capacity(capacity), extent,
+                        donate=cfg.donate_step_buffers,
+                    )
+
+                    def wrapped(state, batch, _s=sstep, _hp=hp):
+                        batch = ViewBatch(
+                            images=pad_images_for_bands(batch.images, _hp),
+                            viewmats=batch.viewmats, Ks=batch.Ks,
+                        )
+                        return _s(state, batch)
+
+                    step_cache[key] = wrapped
+                else:
+                    step_cache[key] = make_train_step(
+                        cfg, width, height, sh_degree, self.backend,
+                        self._isect_capacity(capacity), extent,
+                        donate=cfg.donate_step_buffers,
+                    )
                 log.info("built train step for sh=%d cap=%d (%.1fs)",
                          sh_degree, capacity, time.time() - t0)
             return step_cache[key]
