@@ -179,7 +179,7 @@ def make_sharded_train_step(
             P("data", None, None),    # Ks
         ),
         out_specs=(P(), {"l1": P(), "ssim": P(), "psnr": P()}),
-        check_rep=False,
+        check_vma=False,
     )
 
     def step(state: TrainState, batch: ViewBatch):
