@@ -1,0 +1,83 @@
+"""End-to-end hardware validation: synthetic video -> SfM -> full training
+with the Pallas rasterizer -> eval PSNR. The whole user pipeline on a real
+chip. Run: python benchmarks/train_synthetic_tpu.py [iters] [--res WxH]
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import numpy as np
+
+    from gaussian_splatting_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+
+    from synthetic_video import write_synthetic_video
+    from gaussian_splatting_tpu.train_cli import build_dataset
+    from gaussian_splatting_tpu.training.config import TrainingConfig
+    from gaussian_splatting_tpu.training.trainer import GaussianTrainer
+    from gaussian_splatting_tpu.video.processor import MultiVideoProcessor
+
+    tmp = tempfile.mkdtemp(prefix="gs_tpu_synth_")
+    video = os.path.join(tmp, "clip.mp4")
+    print(f"writing synthetic video -> {video}", file=sys.stderr)
+    write_synthetic_video(video, n_frames=60, width=480, height=360)
+
+    t0 = time.time()
+    proc = MultiVideoProcessor(cache_dir=os.path.join(tmp, "cache"))
+    merged = proc.process_videos([video], stride=3, use_cache=False)
+    t_sfm = time.time() - t0
+    print(f"SfM: {len(merged['points_3d'])} points, "
+          f"{len(merged['all_poses'][0])} poses in {t_sfm:.1f}s", file=sys.stderr)
+
+    ds = build_dataset(merged)
+    cfg = TrainingConfig(
+        iterations=iters, batch_size=4,
+        initial_gaussians=20_000, max_gaussians=200_000,
+        densify_from_iteration=max(100, iters // 3), densify_interval=100,
+        opacity_reset_interval=10**9,
+        sh_degree_max=1, sh_increment_interval=max(1, iters // 2),
+        val_interval=max(1, iters // 4), val_max_views=4,
+        checkpoint_interval=10**9, log_scalar_interval=25,
+    )
+    trainer = GaussianTrainer(cfg)
+    out_dir = os.path.join(tmp, "run")
+    t0 = time.time()
+    state = trainer.train(ds, out_dir, points=np.asarray(merged["points_3d"]),
+                          colors=np.asarray(merged["colors"]))
+    t_train = time.time() - t0
+
+    # Final val metrics from the log.
+    last_val = {}
+    with open(os.path.join(out_dir, "metrics.jsonl")) as f:
+        for line in f:
+            r = json.loads(line)
+            if "val/psnr" in r:
+                last_val = r
+    print(json.dumps({
+        "metric": "synthetic_e2e_val_psnr",
+        "value": round(float(last_val.get("val/psnr", float("nan"))), 2),
+        "unit": "dB",
+        "iters": iters,
+        "backend": trainer.backend,
+        "n_gaussians": int(state.gauss.n_alive()),
+        "sfm_points": len(merged["points_3d"]),
+        "train_seconds": round(t_train, 1),
+        "steps_per_sec": round(iters / t_train, 2),
+        "platform": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

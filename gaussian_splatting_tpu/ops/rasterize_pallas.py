@@ -197,7 +197,8 @@ def _fwd_kernel(starts_ref, counts_ref, soa_ref, out_ref, scratch, sem,
 
 
 def _bwd_kernel(starts_ref, counts_ref, pstarts_ref, soa_ref, aux_ref, grad_ref,
-                scratch, gscratch, sem, wsem, *, ts, ntx, chunk, n_gaussians):
+                scratch, gscratch, sem, wsem, *, ts, ntx, chunk, n_gaussians,
+                grad_cap):
     P = ts * ts
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -230,12 +231,15 @@ def _bwd_kernel(starts_ref, counts_ref, pstarts_ref, soa_ref, aux_ref, grad_ref,
         )
 
     def _bwd_skip(i, carry):
-        gscratch[:, :] = jnp.zeros((16, chunk), jnp.float32)
-        gscratch[11:12, :] = jnp.full((1, chunk), float(n_gaussians), jnp.float32)
         woff = pl.multiple_of(pstart + i * chunk, chunk)
-        wdma = pltpu.make_async_copy(gscratch, grad_ref.at[:, pl.ds(woff, chunk)], wsem)
-        wdma.start()
-        wdma.wait()
+
+        @pl.when(woff + chunk <= grad_cap)
+        def _():
+            gscratch[:, :] = jnp.zeros((16, chunk), jnp.float32)
+            gscratch[11:12, :] = jnp.full((1, chunk), float(n_gaussians), jnp.float32)
+            wdma = pltpu.make_async_copy(gscratch, grad_ref.at[:, pl.ds(woff, chunk)], wsem)
+            wdma.start()
+            wdma.wait()
         return carry
 
     def _bwd_active(i, carry):
@@ -281,20 +285,23 @@ def _bwd_kernel(starts_ref, counts_ref, pstarts_ref, soa_ref, aux_ref, grad_ref,
         )  # (8, K): dr, dg, db, ddepth, d_one(drop), ...
 
         gid = jnp.where(valid, data[11:12, :], float(n_gaussians))
-        gscratch[0:1, :] = dmx
-        gscratch[1:2, :] = dmy
-        gscratch[2:3, :] = dca
-        gscratch[3:4, :] = dcb
-        gscratch[4:5, :] = dcc
-        gscratch[5:6, :] = dop
-        gscratch[6:10, :] = d_extras[0:4, :]   # dr, dg, db, ddepth
-        gscratch[10:11, :] = jnp.zeros((1, chunk), jnp.float32)
-        gscratch[11:12, :] = gid
-        gscratch[12:16, :] = jnp.zeros((4, chunk), jnp.float32)
         woff = pl.multiple_of(pstart + i * chunk, chunk)
-        wdma = pltpu.make_async_copy(gscratch, grad_ref.at[:, pl.ds(woff, chunk)], wsem)
-        wdma.start()
-        wdma.wait()
+
+        @pl.when(woff + chunk <= grad_cap)
+        def _():
+            gscratch[0:1, :] = dmx
+            gscratch[1:2, :] = dmy
+            gscratch[2:3, :] = dca
+            gscratch[3:4, :] = dcb
+            gscratch[4:5, :] = dcc
+            gscratch[5:6, :] = dop
+            gscratch[6:10, :] = d_extras[0:4, :]   # dr, dg, db, ddepth
+            gscratch[10:11, :] = jnp.zeros((1, chunk), jnp.float32)
+            gscratch[11:12, :] = gid
+            gscratch[12:16, :] = jnp.zeros((4, chunk), jnp.float32)
+            wdma = pltpu.make_async_copy(gscratch, grad_ref.at[:, pl.ds(woff, chunk)], wsem)
+            wdma.start()
+            wdma.wait()
 
         tcar = tcar * jnp.min(jnp.where(mask, prod_incl, 1.0), axis=1, keepdims=True)
         pcar = pcar + jnp.sum(gww, axis=1, keepdims=True)
@@ -307,10 +314,17 @@ def _bwd_kernel(starts_ref, counts_ref, pstarts_ref, soa_ref, aux_ref, grad_ref,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret):
+def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
+               grad_cap_mult=8):
     P = ts * ts
     T = ntx * nty
     pcap = padded_capacity_for(N, max_t, T, chunk)
+    # Gradient-buffer capacity: the worst case (pcap) assumes every slot of
+    # every gaussian is a real intersection; typical scenes use a fraction.
+    # Writes beyond the cap are dropped (those entries lose their gradient
+    # for one step — the same degraded mode as CUDA implementations that cap
+    # their intersection buffers); the cap is a config knob.
+    grad_cap = min(pcap, cdiv(grad_cap_mult * N + T * chunk, chunk) * chunk)
 
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, ts=ts, ntx=ntx, chunk=chunk),
@@ -329,7 +343,8 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret):
     )
 
     bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, ts=ts, ntx=ntx, chunk=chunk, n_gaussians=N),
+        functools.partial(_bwd_kernel, ts=ts, ntx=ntx, chunk=chunk, n_gaussians=N,
+                          grad_cap=grad_cap),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(T,),
@@ -345,7 +360,7 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret):
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((16, pcap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((16, grad_cap), jnp.float32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
