@@ -47,6 +47,8 @@ def render(
     backend: str = "ref",
     tile_size: int = 16,
     isect_capacity: Optional[int] = None,
+    max_tiles_per_gaussian: int = 16,
+    raster_chunk: int = 256,
 ) -> RenderOut:
     """Render one view.
 
@@ -80,7 +82,8 @@ def render(
         image, alpha_img, depth_img = rasterize_tiled(
             proj.means2d, proj.conics, colors, opac, proj.depths, proj.radii,
             width, height, bg=bg, tile_size=tile_size,
-            isect_capacity=isect_capacity,
+            isect_capacity=isect_capacity, chunk=raster_chunk,
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
         )
     else:
         raise ValueError(f"unknown backend {backend!r}")

@@ -136,6 +136,7 @@ def make_sharded_train_step(
                     means2d_band, conics, colors, opac, depths, radii,
                     width, band_h, tile_size=ts,
                     isect_capacity=isect_capacity, chunk=config.raster_chunk,
+                    max_tiles_per_gaussian=config.max_tiles_per_gaussian,
                 )
             else:
                 out = rasterize_reference(

@@ -55,6 +55,9 @@ class TrainingConfig:
     # --- TPU execution ---
     tile_size: int = 16
     raster_chunk: int = 256
+    # Static cap on tiles covered per gaussian (the sort size is
+    # N * max_tiles_per_gaussian; overflow is counted, not silently lost).
+    max_tiles_per_gaussian: int = 16
     backend: str = "auto"              # auto | pallas | ref
     isect_capacity_mult: int = 8       # capacity = mult * capacity_gaussians
     capacity_headroom: float = 1.5     # buffer capacity / population target

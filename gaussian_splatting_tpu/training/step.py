@@ -71,6 +71,8 @@ def make_train_step(
                     sh_degree=sh_degree, backend=backend,
                     tile_size=config.tile_size,
                     isect_capacity=isect_capacity,
+                    max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+                    raster_chunk=config.raster_chunk,
                 )
                 l, m = photometric_loss(out.render, batch.images[b], config.lambda_dssim)
                 total = total + l
