@@ -64,6 +64,7 @@ def make_train_step(
             masked_op = params.masked_opacities(alive)
             total = 0.0
             m_acc = {"l1": 0.0, "ssim": 0.0, "psnr": 0.0}
+            radii_max = jnp.zeros_like(state.gauss.max_radii2d)
             for b in range(B):  # static unroll over the view batch
                 out = render(
                     params.means, params.quats, params.log_scales, masked_op,
@@ -74,6 +75,7 @@ def make_train_step(
                     max_tiles_per_gaussian=config.max_tiles_per_gaussian,
                     raster_chunk=config.raster_chunk,
                 )
+                radii_max = jnp.maximum(radii_max, jax.lax.stop_gradient(out.radii))
                 l, m = photometric_loss(out.render, batch.images[b], config.lambda_dssim)
                 total = total + l
                 m_acc = {k: m_acc[k] + m[k] for k in m_acc}
@@ -85,9 +87,9 @@ def make_train_step(
             total = total + reg
             metrics = {k: v / B for k, v in m_acc.items()}
             metrics["scale_reg"] = reg
-            return total, metrics
+            return total, (metrics, radii_max)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, (metrics, radii_max)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.gauss.params
         )
 
@@ -115,6 +117,7 @@ def make_train_step(
             params=new_params,
             xyz_grad_accum=state.gauss.xyz_grad_accum + gnorm,
             xyz_grad_count=state.gauss.xyz_grad_count + 1.0,
+            max_radii2d=jnp.maximum(state.gauss.max_radii2d, radii_max),
         )
 
         new_state = TrainState(

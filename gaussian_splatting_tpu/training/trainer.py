@@ -359,6 +359,28 @@ class GaussianTrainer:
                     "steps_per_sec": sps,
                 }, step=it)
 
+            # Opacity/scale distribution stats (reference logs quantiles +
+            # histograms, trainer.py:89-100, 931-948; quantiles are computed
+            # on a 1M-capped subsample there to dodge a torch.quantile limit
+            # — jnp.quantile has no such limit, so no workaround needed).
+            if it % cfg.log_hist_interval == 0:
+                p = state.gauss.params
+                alive_f = state.gauss.alive
+                from gaussian_splatting_tpu.core.activations import (
+                    opacity_activation as _op_act,
+                    scale_activation as _sc_act,
+                )
+
+                op = np.asarray(_op_act(p.logit_opacities)[:, 0])[np.asarray(alive_f)]
+                sc = np.asarray(_sc_act(p.log_scales)).max(-1)[np.asarray(alive_f)]
+                if len(op):
+                    qs = [10, 50, 90]
+                    self.logger.log({
+                        **{f"opacity/q{q}": float(np.percentile(op, q)) for q in qs},
+                        **{f"scale/q{q}": float(np.percentile(sc, q)) for q in qs},
+                        "radii2d/max": int(np.asarray(state.gauss.max_radii2d).max()),
+                    }, step=it)
+
             # Validation (trainer.py:951-963).
             if n_val > 0 and it % cfg.val_interval == 0:
                 vm = self.validate(state, gather_batch, val_idx, sh_deg, width, height)
