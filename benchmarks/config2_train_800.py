@@ -41,7 +41,7 @@ def main():
     pts = rng.normal(size=(n_gauss, 3)).astype(np.float32)
     pts /= np.maximum(np.linalg.norm(pts, axis=1, keepdims=True) / 1.2, 1.0)
     gt_state = init_from_points(pts, rng.uniform(0.05, 0.95, (n_gauss, 3)), n_gauss,
-                                capacity=n_gauss)
+                                capacity=n_gauss, init_opacity=0.85)
     K = make_intrinsics(width, height, focal_px=960.0)
     cams = []
     for i in range(n_views):
