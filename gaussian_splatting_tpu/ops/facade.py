@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gaussian_splatting_tpu.ops.render import RenderOut, render
+from gaussian_splatting_tpu.ops.render import RenderOut, render  # noqa: F401
 
 log = logging.getLogger(__name__)
 

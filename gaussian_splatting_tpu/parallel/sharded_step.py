@@ -20,18 +20,15 @@ L1/PSNR are exact.
 """
 
 import dataclasses
-import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import shard_map
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from gaussian_splatting_tpu.core.activations import opacity_activation, scale_activation
 from gaussian_splatting_tpu.core.quaternions import quat_normalize
 from gaussian_splatting_tpu.core.sh import sh_to_color
-from gaussian_splatting_tpu.models.gaussians import GaussianState
 from gaussian_splatting_tpu.ops.projection import project_gaussians
 from gaussian_splatting_tpu.ops.rasterize_ref import rasterize_reference
 from gaussian_splatting_tpu.ops.tiling import cdiv
@@ -105,7 +102,6 @@ def make_sharded_train_step(
 
         rows = jnp.arange(band_h, dtype=jnp.float32)[:, None, None]
         valid = (rows + y0) < float(height)  # (band_h, 1, 1)
-        n_valid_band = jnp.sum(valid) * width  # scalar * width... see below
 
         for b in range(Bl):  # static unroll over local views
             proj = project_gaussians(

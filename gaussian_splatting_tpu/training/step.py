@@ -8,7 +8,6 @@ Replaces the reference's per-step Python orchestration
 """
 
 import dataclasses
-import functools
 from typing import NamedTuple
 
 import jax

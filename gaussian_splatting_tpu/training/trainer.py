@@ -208,10 +208,6 @@ class GaussianTrainer:
         h_pad = height
         if cfg.mesh_data * cfg.mesh_tile > 1:
             from gaussian_splatting_tpu.parallel.mesh import make_mesh
-            from gaussian_splatting_tpu.parallel.sharded_step import (
-                make_sharded_train_step,
-                pad_images_for_bands,
-            )
 
             mesh = make_mesh(data=cfg.mesh_data, model=cfg.mesh_tile)
             log.info("training on mesh %s", dict(mesh.shape))
@@ -231,7 +227,6 @@ class GaussianTrainer:
 
         # --- step compiler cache over (sh_degree, capacity) ---
         step_cache: Dict = {}
-        self._band_pad = [None]
 
         def get_step(sh_degree: int, capacity: int):
             key = (sh_degree, capacity)
