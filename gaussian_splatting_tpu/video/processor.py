@@ -123,8 +123,28 @@ class MultiVideoProcessor:
         keep = radius_dedupe(points, radius)
         return points[keep], colors[keep] if len(colors) == len(points) else colors
 
+    @staticmethod
+    def log_environment_probe() -> Dict:
+        """Environment probe logged once per ingest run (reference
+        ``video_sfm.py:285-345``): library versions and codec availability,
+        so SfM regressions across machines are diagnosable from logs."""
+        import cv2 as _cv2
+        import numpy as _np
+        import scipy as _scipy
+
+        info = {
+            "opencv": _cv2.__version__,
+            "numpy": _np.__version__,
+            "scipy": _scipy.__version__,
+            "sift": hasattr(_cv2, "SIFT"),
+            "videoio_ffmpeg": "FFMPEG" in _cv2.getBuildInformation(),
+        }
+        log.info("environment probe: %s", info)
+        return info
+
     def process_videos(self, video_paths: List[str], stride: int = 30,
                        use_cache: bool = True) -> Dict:
+        self.log_environment_probe()
         per_video = []
         for vp in video_paths:
             data = self._process_single_video(vp, stride, use_cache)

@@ -1,0 +1,38 @@
+"""Pallas kernels inside shard_map: the multi-chip rasterization path with
+the real kernel code (interpret mode on the virtual CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splatting_tpu.models.gaussians import init_from_points
+from gaussian_splatting_tpu.parallel.mesh import make_mesh
+from gaussian_splatting_tpu.parallel.sharded_step import (
+    make_sharded_train_step,
+    pad_images_for_bands,
+)
+from gaussian_splatting_tpu.training.config import TrainingConfig
+from gaussian_splatting_tpu.training.optimizer import adam_init
+from gaussian_splatting_tpu.training.step import TrainState, ViewBatch
+
+
+def test_sharded_step_with_pallas_kernels(rng):
+    pts = rng.normal(size=(96, 3)).astype(np.float32) * 0.5
+    gauss = init_from_points(pts, None, 96, capacity=128)
+    ts = TrainState(gauss=gauss, opt=adam_init(gauss.params),
+                    iteration=jnp.zeros((), jnp.int32))
+    cfg = TrainingConfig(batch_size=2, backend="pallas")
+    mesh = make_mesh(data=2, model=2)
+    step, band_h, h_pad = make_sharded_train_step(
+        cfg, mesh, 32, 32, 0, "pallas", None, 2.0, donate=False)
+    imgs = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)), jnp.float32)
+    vm = jnp.tile(jnp.eye(4, dtype=jnp.float32).at[2, 3].set(4.0)[None], (2, 1, 1))
+    K = jnp.tile(jnp.asarray([[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1]],
+                             jnp.float32)[None], (2, 1, 1))
+    batch = ViewBatch(images=pad_images_for_bands(imgs, h_pad), viewmats=vm, Ks=K)
+    losses = []
+    for _ in range(3):
+        ts, m = step(ts, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] <= losses[0]
