@@ -95,20 +95,17 @@ def make_sharded_train_step(
         )[:, 0]
 
         Bl = images.shape[0]
-        total = jnp.float32(0.0)
-        l1_sum = jnp.float32(0.0)
-        ssim_sum = jnp.float32(0.0)
-        mse_sum = jnp.float32(0.0)
-
         rows = jnp.arange(band_h, dtype=jnp.float32)[:, None, None]
         valid = (rows + y0) < float(height)  # (band_h, 1, 1)
 
-        for b in range(Bl):  # static unroll over local views
+        def render_one(carry, view):
+            l1_sum, ssim_sum, mse_sum = carry
+            gt, viewmat, K = view
             proj = project_gaussians(
-                means_s, quats_s, scales_s, viewmats[b], Ks[b], width, height
+                means_s, quats_s, scales_s, viewmat, K, width, height
             )
-            R = viewmats[b][:3, :3]
-            t = viewmats[b][:3, 3]
+            R = viewmat[:3, :3]
+            t = viewmat[:3, 3]
             cam = -R.T @ t
             dirs = means_s - cam[None, :]
             dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
@@ -141,15 +138,18 @@ def make_sharded_train_step(
                 )
                 img = out.image
 
-            gt = images[b]
             r = stclamp(img)
             diff_mask = valid.astype(img.dtype)
             l1_b = jnp.sum(jnp.abs(r - gt) * diff_mask)
             ssim_b = _masked_ssim_sum(r, gt, diff_mask)
             mse_b = jnp.sum(((jnp.clip(img, 0, 1) - gt) ** 2) * diff_mask)
-            l1_sum += l1_b
-            ssim_sum += ssim_b
-            mse_sum += mse_b
+            return (l1_sum + l1_b, ssim_sum + ssim_b, mse_sum + mse_b), None
+
+        (l1_sum, ssim_sum, mse_sum), _ = jax.lax.scan(
+            render_one,
+            (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)),
+            (images, viewmats, Ks),
+        )
 
         # Reduce over the whole mesh; normalize to global means.
         B = Bl * D

@@ -61,13 +61,16 @@ def make_train_step(
         def loss_fn(params):
             sh = params.sh_coeffs
             masked_op = params.masked_opacities(alive)
-            total = 0.0
-            m_acc = {"l1": 0.0, "ssim": 0.0, "psnr": 0.0}
-            radii_max = jnp.zeros_like(state.gauss.max_radii2d)
-            for b in range(B):  # static unroll over the view batch
+
+            # lax.scan over the view batch: ONE compiled render body instead
+            # of B unrolled copies — same runtime (renders are sequential
+            # anyway), ~B-times faster XLA compiles.
+            def render_one(carry, view):
+                total, m_acc, radii_max = carry
+                image, viewmat, K = view
                 out = render(
                     params.means, params.quats, params.log_scales, masked_op,
-                    sh, batch.viewmats[b], batch.Ks[b], width, height,
+                    sh, viewmat, K, width, height,
                     sh_degree=sh_degree, backend=backend,
                     tile_size=config.tile_size,
                     isect_capacity=isect_capacity,
@@ -75,9 +78,18 @@ def make_train_step(
                     raster_chunk=config.raster_chunk,
                 )
                 radii_max = jnp.maximum(radii_max, jax.lax.stop_gradient(out.radii))
-                l, m = photometric_loss(out.render, batch.images[b], config.lambda_dssim)
-                total = total + l
+                l, m = photometric_loss(out.render, image, config.lambda_dssim)
                 m_acc = {k: m_acc[k] + m[k] for k in m_acc}
+                return (total + l, m_acc, radii_max), None
+
+            init = (
+                jnp.float32(0.0),
+                {"l1": jnp.float32(0.0), "ssim": jnp.float32(0.0), "psnr": jnp.float32(0.0)},
+                jnp.zeros_like(state.gauss.max_radii2d),
+            )
+            (total, m_acc, radii_max), _ = jax.lax.scan(
+                render_one, init, (batch.images, batch.viewmats, batch.Ks)
+            )
             total = total / B
             reg = scale_ratio_reg(
                 params.log_scales, alive,
