@@ -435,23 +435,44 @@ class GaussianTrainer:
 
     # ---- validation ------------------------------------------------------
 
+    def _val_render_fn(self, sh_degree, width, height, capacity):
+        """Cached jitted validation renderer — a fresh closure per call would
+        silently recompile (~1 min on this TPU) at every validation event."""
+        key = (sh_degree, width, height, capacity)
+        cache = getattr(self, "_val_cache", None)
+        if cache is None:
+            cache = self._val_cache = {}
+        if key not in cache:
+            cfg = self.config
+            cap = self._isect_capacity(capacity)
+
+            @jax.jit
+            def render_one(params, masked_op, viewmat, K):
+                out = render(
+                    params.means, params.quats, params.log_scales, masked_op,
+                    params.sh_coeffs, viewmat, K, width, height,
+                    sh_degree=sh_degree, backend=self.backend,
+                    tile_size=cfg.tile_size, isect_capacity=cap,
+                    max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+                    raster_chunk=cfg.raster_chunk,
+                )
+                return jnp.clip(out.render, 0.0, 1.0)
+
+            @jax.jit
+            def metrics_one(img, gt):
+                return (jnp.mean(jnp.abs(img - gt)), ssim_fn(img, gt),
+                        psnr_fn(img, gt))
+
+            cache[key] = (render_one, metrics_one)
+        return cache[key]
+
     def validate(self, state, gather_batch, val_idx, sh_degree, width, height):
         if len(val_idx) == 0:
             return None
-        cfg = self.config
         p = state.gauss.params
         alive = state.gauss.alive
-        cap = self._isect_capacity(state.gauss.capacity)
-
-        @jax.jit
-        def render_one(params, masked_op, viewmat, K):
-            out = render(
-                params.means, params.quats, params.log_scales, masked_op,
-                params.sh_coeffs, viewmat, K, width, height,
-                sh_degree=sh_degree, backend=self.backend,
-                tile_size=cfg.tile_size, isect_capacity=cap,
-            )
-            return jnp.clip(out.render, 0.0, 1.0)
+        render_one, metrics_one = self._val_render_fn(
+            sh_degree, width, height, state.gauss.capacity)
 
         masked_op = p.masked_opacities(alive)
         l1s, ssims, psnrs = [], [], []
@@ -460,9 +481,10 @@ class GaussianTrainer:
             b = gather_batch(jnp.asarray([int(i)], jnp.int32))
             img = render_one(p, masked_op, b.viewmats[0], b.Ks[0])
             gt = b.images[0]
-            l1s.append(float(jnp.mean(jnp.abs(img - gt))))
-            ssims.append(float(ssim_fn(img, gt)))
-            psnrs.append(float(psnr_fn(img, gt)))
+            l1, s, ps = metrics_one(img, gt)
+            l1s.append(float(l1))
+            ssims.append(float(s))
+            psnrs.append(float(ps))
             if sample is None:
                 sample = np.concatenate([np.asarray(img), np.asarray(gt)], axis=1)
         if sample is not None and self.logger is not None:

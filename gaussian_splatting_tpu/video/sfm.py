@@ -83,8 +83,6 @@ class VideoSfM:
             frame = frames[i]
             gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
             if last_frame is None:
-                poses.append(np.eye(4))
-                pose_frames.append(frame_indices[i])
                 last_frame, last_gray, last_i = frame, gray, i
                 continue
 
@@ -93,15 +91,23 @@ class VideoSfM:
                 continue
 
             p1, p2 = self.calib.match_pair(last_frame, frame, key1=last_i, key2=i)
-            if len(p1) < MIN_MATCHES:
-                skip["few_matches"] += 1
-                continue
 
             if not initialized:
-                ok = self._initialize_pair(p1, p2, K, last_frame, frame, poses,
-                                           points, colors, track_2d, skip)
+                ok = (len(p1) >= MIN_MATCHES) and self._initialize_pair(
+                    p1, p2, K, last_frame, frame, poses, points, colors,
+                    track_2d, skip)
+                if len(p1) < MIN_MATCHES:
+                    skip["few_matches"] += 1
                 if not ok:
+                    # Slide the initialization base forward: keeping the old
+                    # base only grows the baseline and makes every later pair
+                    # harder (a one-bad-pair death spiral observed on short
+                    # clips — adjacent pairs pass while (0, k) pairs fail).
+                    last_frame, last_gray, last_i = frame, gray, i
                     continue
+                # The accepted pair defines the world frame: identity at the
+                # base frame, recovered pose at the current frame.
+                pose_frames.append(frame_indices[last_i])
                 pose_frames.append(frame_indices[i])
                 initialized = True
             else:
@@ -177,6 +183,7 @@ class VideoSfM:
         if keep.sum() < MIN_INLIERS // 2:
             skip["few_inliers"] += 1
             return False
+        poses.append(np.eye(4))  # the base frame defines the world frame
         poses.append(pose)
         base = len(points)
         Xk = X[keep]
