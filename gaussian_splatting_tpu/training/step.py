@@ -134,7 +134,14 @@ def make_train_step(
         new_state = TrainState(
             gauss=gauss, opt=new_opt, iteration=state.iteration + 1
         )
-        metrics = dict(metrics, loss=loss, xyz_lr=xyz_lr)
+        # Per-group gradient norms (reference logs these every scalar
+        # interval, ``trainer.py:889-898``).
+        gn = {
+            f"grad_norm/{k}": jnp.linalg.norm(getattr(grads, k))
+            for k in ("means", "quats", "log_scales", "logit_opacities",
+                      "features_dc", "features_rest")
+        }
+        metrics = dict(metrics, loss=loss, xyz_lr=xyz_lr, **gn)
         return new_state, metrics
 
     donate_args = (0,) if donate else ()

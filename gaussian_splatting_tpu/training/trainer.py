@@ -342,7 +342,7 @@ class GaussianTrainer:
                 sps = window_iters / dt if dt > 0 else 0.0
                 t_window = time.time()
                 window_iters = 0
-                self.logger.log({
+                rec = {
                     "loss": float(metrics["loss"]),
                     "train/l1": float(metrics["l1"]),
                     "train/ssim": float(metrics["ssim"]),
@@ -352,7 +352,10 @@ class GaussianTrainer:
                     "n_gaussians": int(state.gauss.n_alive()),
                     "sh_degree": sh_deg,
                     "steps_per_sec": sps,
-                }, step=it)
+                }
+                rec.update({k: float(v) for k, v in metrics.items()
+                            if k.startswith("grad_norm/")})
+                self.logger.log(rec, step=it)
 
             # Opacity/scale distribution stats (reference logs quantiles +
             # histograms, trainer.py:89-100, 931-948; quantiles are computed
