@@ -27,11 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gaussian_splatting_tpu.core.activations import (
-    opacity_activation,
-    opacity_inverse_activation,
-    scale_activation,
-)
+from gaussian_splatting_tpu.core.activations import opacity_inverse_activation
 from gaussian_splatting_tpu.core.sh import rgb_to_sh0
 
 NEG_INF_LOGIT = -20.0  # sigmoid(-20) ~ 2e-9: dead-slot opacity

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import dataclasses
 import logging
-import os
 import time
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -24,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gaussian_splatting_tpu.models.densify import clamp_scales, densify_and_prune, reset_opacity
+from gaussian_splatting_tpu.models.densify import densify_and_prune, reset_opacity
 from gaussian_splatting_tpu.models.gaussians import (
     GaussianState,
     grow_capacity,

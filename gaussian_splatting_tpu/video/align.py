@@ -11,7 +11,7 @@ here the second view's points are actually used.
 from __future__ import annotations
 
 import logging
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 from scipy.spatial import cKDTree

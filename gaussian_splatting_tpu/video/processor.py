@@ -17,7 +17,6 @@ import pickle
 from typing import Dict, List, Optional
 
 import numpy as np
-from scipy.spatial import cKDTree
 
 from gaussian_splatting_tpu.video.align import align_clouds, apply_similarity_to_pose
 from gaussian_splatting_tpu.video.calibrate import Calibrator
