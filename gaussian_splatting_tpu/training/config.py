@@ -16,6 +16,10 @@ class TrainingConfig:
 
     # --- gaussians (reference :21-26) ---
     initial_gaussians: int = 100_000
+    # Initial opacity (reference hardcodes 0.005, trainer.py:167; the original
+    # 3DGS paper uses 0.1 — with the 1/255 alpha cutoff, 0.005 leaves most
+    # gaussians gradient-dead for thousands of iterations).
+    init_opacity: float = 0.005
     max_gaussians: int = 10_000_000
     densify_interval: int = 100
     densify_from_iteration: int = 5000   # reference trainer.py:793 (iter > 5000)

@@ -171,7 +171,8 @@ class GaussianTrainer:
                     max(len(points_f) * 3, cfg.initial_gaussians),
                     cfg.max_gaussians // 2,
                 ))
-                gauss = init_from_points(points_f, colors_f, n_init)
+                gauss = init_from_points(points_f, colors_f, n_init,
+                                         init_opacity=cfg.init_opacity)
             else:
                 log.warning("no 3D points; random init")
                 gauss = init_random(int(cfg.initial_gaussians))
