@@ -62,6 +62,13 @@ class TrainingConfig:
     # Static cap on tiles covered per gaussian (the sort size is
     # N * max_tiles_per_gaussian; overflow is counted, not silently lost).
     max_tiles_per_gaussian: int = 16
+    # Measure the init population's screen footprint and raise the cap to its
+    # p95 (bounded below by max_tiles_per_gaussian, above by the sort-size
+    # budget). Sparse SfM clouds produce huge kNN-init scales whose
+    # footprints a fixed cap of 16 would truncate to corner smears.
+    auto_max_tiles: bool = True
+    # Upper bound on N * max_t (sort entries) the auto mode may choose.
+    max_sort_entries: int = 32_000_000
     backend: str = "auto"              # auto | pallas | ref
     isect_capacity_mult: int = 8       # capacity = mult * capacity_gaussians
     capacity_headroom: float = 1.5     # buffer capacity / population target

@@ -126,6 +126,37 @@ class GaussianTrainer:
         cfg = self.config
         return min(iteration // cfg.sh_increment_interval, cfg.sh_degree_max)
 
+    @staticmethod
+    def _choose_max_tiles(state, dataset, cfg) -> int:
+        """p95 of the init population's per-gaussian tile count over a few
+        views, clipped to [configured default, sort-size budget]."""
+        from gaussian_splatting_tpu.ops.projection import project_gaussians
+
+        p = state.gauss.params
+        alive = np.asarray(state.gauss.alive)
+        ts = cfg.tile_size
+        counts = []
+        n_views = min(3, dataset.num_views)
+        scales = jnp.exp(p.log_scales)
+        for i in np.linspace(0, dataset.num_views - 1, n_views).astype(int):
+            proj = project_gaussians(
+                p.means, p.quats, scales,
+                jnp.asarray(dataset.viewmats[i]), jnp.asarray(dataset.Ks[i]),
+                dataset.width, dataset.height,
+            )
+            r = np.asarray(proj.radii)[alive]
+            vis = r > 0
+            if vis.any():
+                nt = (np.ceil(2.0 * r[vis] / ts) + 1) ** 2
+                counts.append(nt)
+        if not counts:
+            return cfg.max_tiles_per_gaussian
+        p95 = float(np.percentile(np.concatenate(counts), 95))
+        budget = max(cfg.max_sort_entries // max(state.gauss.capacity, 1), 8)
+        chosen = int(min(max(p95, cfg.max_tiles_per_gaussian), budget, 256))
+        # Round up to the next power of two for cache-friendly reuse.
+        return 1 << (chosen - 1).bit_length()
+
     def _isect_capacity(self, capacity: int) -> int:
         return int(self.config.isect_capacity_mult) * int(capacity)
 
@@ -181,6 +212,18 @@ class GaussianTrainer:
                 iteration=jnp.zeros((), jnp.int32),
             )
         log.info("capacity %d, alive %d", state.gauss.capacity, int(state.gauss.n_alive()))
+
+        # Adaptive tile-footprint cap: a fixed max_tiles_per_gaussian
+        # truncates the huge splats that sparse SfM clouds produce at init
+        # (measured: median 49 tiles on a 2k-point cloud — a cap of 16 leaves
+        # 70% of gaussians rendering a corner smear and training stalls).
+        if cfg.auto_max_tiles:
+            chosen = self._choose_max_tiles(state, dataset, cfg)
+            if chosen != cfg.max_tiles_per_gaussian:
+                log.info("auto max_tiles_per_gaussian: %d -> %d",
+                         cfg.max_tiles_per_gaussian, chosen)
+                cfg = cfg.replace(max_tiles_per_gaussian=chosen)
+                self.config = cfg
 
         if points_f is not None and len(points_f) > 0 and not resume_from:
             try:
