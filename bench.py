@@ -83,12 +83,14 @@ def main():
     f = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
     args = (means2d, conics, colors, opac, depths)
 
-    n_isect = int(jax.jit(
+    stats = jax.jit(
         lambda: rasterize_tiled(
             means2d, conics, colors, opac, depths, radii, width, height,
             tile_size=16, chunk=chunk, interpret=not on_tpu, with_stats=True,
-        )[3]["n_isect"]
-    )())
+        )[3]
+    )()
+    n_isect = int(stats["n_isect"])
+    n_dropped = int(stats["n_dropped"])
 
     # Cache-busting seeds: the axon remote layer memoizes pure executions.
     seeds = [jnp.float32(1.0 + 1e-7 * i) for i in range(8)]
@@ -108,6 +110,8 @@ def main():
         "value": round(value, 1),
         "unit": "pixels/s",
         "vs_baseline": round(value / roof, 4),
+        "n_isect": n_isect,
+        "n_tile_overflow_dropped": n_dropped,
     }))
 
 
