@@ -440,6 +440,8 @@ class GaussianTrainer:
         save_checkpoint(str(out / "final.npz"), state, extra={"scene_extent": extent})
         n = export_state_ply(state.gauss, str(out / "final.ply"))
         log.info("final export: %d gaussians", n)
+        self.logger.log_artifact(str(out / "final.npz"), "checkpoint-final")
+        self.logger.log_artifact(str(out / "final.ply"), "model-ply")
         try:
             from gaussian_splatting_tpu.utils.plots import draw_graphs
 

@@ -82,6 +82,20 @@ class MetricsLogger:
             except Exception:
                 pass
 
+    def log_artifact(self, path: str, name: str, kind: str = "model") -> None:
+        """Record a produced artifact (checkpoint/PLY) in the JSONL and, when
+        wandb is live, upload it (reference ``train.py:144-155``)."""
+        self.log({f"artifact/{kind}": path})
+        if self.wandb_run is not None:
+            try:
+                import wandb
+
+                art = wandb.Artifact(name, type=kind)
+                art.add_file(path)
+                self.wandb_run.log_artifact(art)
+            except Exception as e:
+                log.warning("wandb artifact failed: %s", e)
+
     def finish(self) -> None:
         self._f.close()
         if self.wandb_run is not None:
