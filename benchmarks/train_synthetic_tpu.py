@@ -46,7 +46,7 @@ def main():
         iterations=iters, batch_size=4,
         initial_gaussians=20_000, max_gaussians=200_000,
         init_opacity=0.1,  # original-3DGS init; see config.init_opacity note
-        densify_from_iteration=max(200, (4 * iters) // 5), densify_interval=100,
+        densify_from_iteration=min(1000, max(200, iters // 3)), densify_interval=100,
         opacity_reset_interval=10**9,
         sh_degree_max=1, sh_increment_interval=max(1, iters // 2),
         val_interval=max(1, iters // 4), val_max_views=4,

@@ -338,3 +338,29 @@ def test_scene_geometry_outlier_filter():
     assert np.isfinite(extent) and extent > 0
     assert not in_extent[-1]
     assert in_extent[:100].mean() > 0.9
+
+
+def test_choose_max_tiles_adapts(rng):
+    """Sparse clouds with big kNN scales get a bigger tile-footprint cap."""
+    from gaussian_splatting_tpu.training.trainer import GaussianTrainer
+
+    ds, gt_means = _synthetic_scene(rng, n_views=3)
+    cfg = TrainingConfig()
+    # Big scales -> big footprints.
+    st = init_from_points(gt_means, None, 64, capacity=128)
+    st = dataclasses.replace(
+        st, params=dataclasses.replace(
+            st.params, log_scales=jnp.full_like(st.params.log_scales, jnp.log(0.8))))
+    chosen = GaussianTrainer._choose_max_tiles(
+        TrainState(gauss=st, opt=adam_init(st.params), iteration=jnp.int32(0)),
+        ds, cfg)
+    assert chosen > cfg.max_tiles_per_gaussian
+    assert chosen & (chosen - 1) == 0  # power of two
+    # Tiny scales keep the default.
+    st2 = dataclasses.replace(
+        st, params=dataclasses.replace(
+            st.params, log_scales=jnp.full_like(st.params.log_scales, jnp.log(0.01))))
+    chosen2 = GaussianTrainer._choose_max_tiles(
+        TrainState(gauss=st2, opt=adam_init(st2.params), iteration=jnp.int32(0)),
+        ds, cfg)
+    assert chosen2 == cfg.max_tiles_per_gaussian
