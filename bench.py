@@ -71,11 +71,26 @@ def main():
 
     cap = None
     chunk = 256
+    max_t = 16
+
+    # Compact footprint-class binning: measure the population's class
+    # histogram (exactly what the trainer does at init) and budget with 1.5x
+    # headroom — the big payload sort carries only ~pow2-rounded real
+    # intersections instead of N*max_t slots.
+    from gaussian_splatting_tpu.ops.tiling import (
+        class_caps, exact_tile_counts, total_slots)
+
+    caps = np.asarray(class_caps(max_t))
+    nt = np.minimum(exact_tile_counts(means2d, radii, width, height, 16), max_t)
+    cls = np.searchsorted(caps, np.clip(nt, 1, max_t))
+    hist = np.bincount(cls[nt > 0], minlength=len(caps))[:len(caps)]
+    budgets = tuple(int(np.ceil(h * 1.5 / 128) * 128 + 128) for h in hist)
 
     def loss(m, c2, col, o, dd, s_):
         img, alpha, depth = rasterize_tiled(
             m * s_, c2, col, o, dd, radii, width, height,
             tile_size=16, isect_capacity=cap, chunk=chunk,
+            max_tiles_per_gaussian=max_t, class_budgets=budgets,
             interpret=not on_tpu,
         )
         return jnp.sum(img) + jnp.sum(alpha) + 0.01 * jnp.sum(depth)
@@ -86,11 +101,14 @@ def main():
     stats = jax.jit(
         lambda: rasterize_tiled(
             means2d, conics, colors, opac, depths, radii, width, height,
-            tile_size=16, chunk=chunk, interpret=not on_tpu, with_stats=True,
+            tile_size=16, chunk=chunk, max_tiles_per_gaussian=max_t,
+            class_budgets=budgets, interpret=not on_tpu, with_stats=True,
         )[3]
     )()
     n_isect = int(stats["n_isect"])
     n_dropped = int(stats["n_dropped"])
+    n_budget_dropped = int(stats["n_budget_dropped"])
+    n_slots = total_slots(n, max_t, budgets)
 
     # Cache-busting seeds: the axon remote layer memoizes pure executions.
     seeds = [jnp.float32(1.0 + 1e-7 * i) for i in range(8)]
@@ -112,6 +130,8 @@ def main():
         "vs_baseline": round(value / roof, 4),
         "n_isect": n_isect,
         "n_tile_overflow_dropped": n_dropped,
+        "n_budget_dropped": n_budget_dropped,
+        "n_sort_slots": n_slots,
     }))
 
 

@@ -104,12 +104,31 @@ def main(argv=None) -> int:
     params = gauss.params
     masked_op = params.masked_opacities(gauss.alive)
 
+    # Render with the training run's raster settings from the checkpoint
+    # meta (tile cap, chunk, class budgets, SH degree) — a model trained
+    # with an adaptive 256-tile cap must not be re-truncated to the default
+    # 16 at eval time.
+    rmeta = meta.get("render", {}) if isinstance(meta, dict) else {}
+    tile_size = int(rmeta.get("tile_size", 16))
+    raster_chunk = int(rmeta.get("raster_chunk", 256))
+    max_tiles = int(rmeta.get("max_tiles_per_gaussian", 16))
+    sh_degree = int(rmeta.get("sh_degree_max", 3))
+    cap_mult = int(rmeta.get("isect_capacity_mult", 4))
+    budgets = rmeta.get("class_budgets")
+    budgets = tuple(int(b) for b in budgets) if budgets else None
+    if rmeta:
+        log.info("render settings from checkpoint meta: tile=%d chunk=%d "
+                 "max_tiles=%d sh=%d budgets=%s",
+                 tile_size, raster_chunk, max_tiles, sh_degree, budgets)
+
     @jax.jit
     def render_view(viewmat, K):
         o = render(params.means, params.quats, params.log_scales, masked_op,
                    params.sh_coeffs, viewmat, K, width, height,
-                   sh_degree=3, backend=backend,
-                   isect_capacity=4 * params.capacity)
+                   sh_degree=sh_degree, backend=backend,
+                   tile_size=tile_size, raster_chunk=raster_chunk,
+                   max_tiles_per_gaussian=max_tiles, class_budgets=budgets,
+                   isect_capacity=cap_mult * params.capacity)
         return jnp.clip(o.render, 0.0, 1.0)
 
     rows = []

@@ -41,6 +41,7 @@ from gaussian_splatting_tpu.ops.tiling import (
     isect_and_sort,
     padded_capacity_for,
     reduce_padded_grads,
+    total_slots,
 )
 
 ALPHA_CLAMP = 0.999
@@ -99,18 +100,6 @@ def _pixel_coords(t, ts, ntx):
     px = (tx * ts + pidx % ts).astype(jnp.float32) + 0.5
     py = (ty * ts + pidx // ts).astype(jnp.float32) + 0.5
     return px, py
-
-
-def _read_chunk(soa_ref, scratch, sem, base, shift, i, chunk):
-    """Aligned (16, 2K) window DMA + dynamic roll -> the K entries at
-    unaligned offset base + shift + i*K."""
-    off = pl.multiple_of(base + i * chunk, chunk)
-    dma = pltpu.make_async_copy(soa_ref.at[:, pl.ds(off, 2 * chunk)], scratch, sem)
-    dma.start()
-    dma.wait()
-    window = scratch[:]
-    rolled = pltpu.roll(window, 2 * chunk - shift, 1)
-    return rolled[:, :chunk]
 
 
 def _fwd_kernel(starts_ref, counts_ref, soa_ref, out_ref, scratch, sem,
@@ -199,6 +188,9 @@ def _fwd_kernel(starts_ref, counts_ref, soa_ref, out_ref, scratch, sem,
 def _bwd_kernel(starts_ref, counts_ref, pstarts_ref, soa_ref, aux_ref, grad_ref,
                 scratch, gscratch, sem, wsem, *, ts, ntx, chunk, n_gaussians,
                 grad_cap):
+    """Backward sweep with the same double-buffered read DMA as forward plus
+    deferred (async) gradient writes: chunk i's write is waited only when its
+    buffer slot is reused at i+2 — reads, compute, and writes all overlap."""
     P = ts * ts
     t = pl.program_id(0)
     start = starts_ref[t]
@@ -218,33 +210,51 @@ def _bwd_kernel(starts_ref, counts_ref, pstarts_ref, soa_ref, aux_ref, grad_ref,
         preferred_element_type=jnp.float32, precision=_PREC,
     )  # (P, 1): Q_total per pixel
 
-    def body(i, carry):
-        tcar, pcar = carry
-        # Early-termination skip: once every pixel is saturated, remaining
-        # chunks have zero gradients — write zeros + sentinel ids without
-        # even reading the input.
-        return jax.lax.cond(
-            jnp.max(tcar) > T_EARLY_STOP,
-            lambda c: _bwd_active(i, c),
-            lambda c: _bwd_skip(i, c),
-            carry,
+    def read_dma(i):
+        off = pl.multiple_of(base + i * chunk, chunk)
+        return pltpu.make_async_copy(
+            soa_ref.at[:, pl.ds(off, 2 * chunk)],
+            scratch.at[jax.lax.rem(i, 2)],
+            sem.at[jax.lax.rem(i, 2)],
         )
 
-    def _bwd_skip(i, carry):
+    def write_ok(i):
+        return pstart + i * chunk + chunk <= grad_cap
+
+    def write_dma(i):
         woff = pl.multiple_of(pstart + i * chunk, chunk)
+        return pltpu.make_async_copy(
+            gscratch.at[jax.lax.rem(i, 2)],
+            grad_ref.at[:, pl.ds(woff, chunk)],
+            wsem.at[jax.lax.rem(i, 2)],
+        )
 
-        @pl.when(woff + chunk <= grad_cap)
+    def retire_write(i):
+        # Slot i%2 is about to be refilled — wait out the write issued at i-2.
+        @pl.when((i >= 2) & write_ok(i - 2))
         def _():
-            gscratch[:, :] = jnp.zeros((16, chunk), jnp.float32)
-            gscratch[11:12, :] = jnp.full((1, chunk), float(n_gaussians), jnp.float32)
-            wdma = pltpu.make_async_copy(gscratch, grad_ref.at[:, pl.ds(woff, chunk)], wsem)
-            wdma.start()
-            wdma.wait()
-        return carry
+            write_dma(i - 2).wait()
 
-    def _bwd_active(i, carry):
-        tcar, pcar = carry
-        data = _read_chunk(soa_ref, scratch, sem, base, shift, i, chunk)
+    @pl.when(n_chunks > 0)
+    def _():
+        read_dma(jnp.int32(0)).start()
+
+    def cond(carry):
+        i, tcar, _ = carry
+        # Early termination: once every pixel is saturated, remaining chunks
+        # have zero gradients — fall through to the sentinel-fill loop below.
+        return (i < n_chunks) & (jnp.max(tcar) > T_EARLY_STOP)
+
+    def body(carry):
+        i, tcar, pcar = carry
+
+        @pl.when(i + 1 < n_chunks)
+        def _():
+            read_dma(i + 1).start()
+
+        read_dma(i).wait()
+        window = scratch[jax.lax.rem(i, 2)]
+        data = pltpu.roll(window, 2 * chunk - shift, 1)[:, :chunk]
         valid = (i * chunk + col) < count
         alpha, sigma, vis, araw, contrib, dx, dy, ca, cb, cc, op = _chunk_alpha(
             data, px, py, valid
@@ -285,40 +295,70 @@ def _bwd_kernel(starts_ref, counts_ref, pstarts_ref, soa_ref, aux_ref, grad_ref,
         )  # (8, K): dr, dg, db, ddepth, d_one(drop), ...
 
         gid = jnp.where(valid, data[11:12, :], float(n_gaussians))
-        woff = pl.multiple_of(pstart + i * chunk, chunk)
 
-        @pl.when(woff + chunk <= grad_cap)
+        retire_write(i)
+
+        @pl.when(write_ok(i))
         def _():
-            gscratch[0:1, :] = dmx
-            gscratch[1:2, :] = dmy
-            gscratch[2:3, :] = dca
-            gscratch[3:4, :] = dcb
-            gscratch[4:5, :] = dcc
-            gscratch[5:6, :] = dop
-            gscratch[6:10, :] = d_extras[0:4, :]   # dr, dg, db, ddepth
-            gscratch[10:11, :] = jnp.zeros((1, chunk), jnp.float32)
-            gscratch[11:12, :] = gid
-            gscratch[12:16, :] = jnp.zeros((4, chunk), jnp.float32)
-            wdma = pltpu.make_async_copy(gscratch, grad_ref.at[:, pl.ds(woff, chunk)], wsem)
-            wdma.start()
-            wdma.wait()
+            slot = jax.lax.rem(i, 2)
+            gscratch[slot, 0:1, :] = dmx
+            gscratch[slot, 1:2, :] = dmy
+            gscratch[slot, 2:3, :] = dca
+            gscratch[slot, 3:4, :] = dcb
+            gscratch[slot, 4:5, :] = dcc
+            gscratch[slot, 5:6, :] = dop
+            gscratch[slot, 6:10, :] = d_extras[0:4, :]   # dr, dg, db, ddepth
+            gscratch[slot, 10:11, :] = jnp.zeros((1, chunk), jnp.float32)
+            gscratch[slot, 11:12, :] = gid
+            gscratch[slot, 12:16, :] = jnp.zeros((4, chunk), jnp.float32)
+            write_dma(i).start()
 
         tcar = tcar * jnp.min(jnp.where(mask, prod_incl, 1.0), axis=1, keepdims=True)
         pcar = pcar + jnp.sum(gww, axis=1, keepdims=True)
-        return tcar, pcar
+        return i + 1, tcar, pcar
 
-    jax.lax.fori_loop(
-        0, n_chunks, body,
-        (jnp.ones((P, 1), jnp.float32), jnp.zeros((P, 1), jnp.float32)),
-    )
+    init = (jnp.int32(0), jnp.ones((P, 1), jnp.float32),
+            jnp.zeros((P, 1), jnp.float32))
+    ie, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # Drain the read prefetch issued for the chunk after an early exit.
+    @pl.when(ie < n_chunks)
+    def _():
+        read_dma(ie).wait()
+
+    # Early-terminated chunks still need sentinel entries in the grad buffer
+    # (the reduction masks by total written chunks, not per-tile stop points).
+    def fill_body(j, _):
+        retire_write(j)
+
+        @pl.when(write_ok(j))
+        def _():
+            slot = jax.lax.rem(j, 2)
+            gscratch[slot, :, :] = jnp.zeros((16, chunk), jnp.float32)
+            gscratch[slot, 11:12, :] = jnp.full(
+                (1, chunk), float(n_gaussians), jnp.float32)
+            write_dma(j).start()
+        return 0
+
+    jax.lax.fori_loop(ie, n_chunks, fill_body, 0)
+
+    # Retire the last two in-flight writes.
+    @pl.when((n_chunks >= 2) & write_ok(n_chunks - 2))
+    def _():
+        write_dma(n_chunks - 2).wait()
+
+    @pl.when((n_chunks >= 1) & write_ok(n_chunks - 1))
+    def _():
+        write_dma(n_chunks - 1).wait()
 
 
 @functools.lru_cache(maxsize=None)
 def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
-               grad_cap_mult=8):
+               grad_cap_mult=8, class_budgets=None):
     P = ts * ts
     T = ntx * nty
-    pcap = padded_capacity_for(N, max_t, T, chunk)
+    n_slots = total_slots(N, max_t, class_budgets)
+    pcap = padded_capacity_for(n_slots, T, chunk)
     # Gradient-buffer capacity: the worst case (pcap) assumes every slot of
     # every gaussian is a real intersection; typical scenes use a fraction.
     # Writes beyond the cap are dropped (those entries lose their gradient
@@ -354,10 +394,10 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((16, 2 * chunk), jnp.float32),
-                pltpu.VMEM((16, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.VMEM((2, 16, 2 * chunk), jnp.float32),
+                pltpu.VMEM((2, 16, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((16, grad_cap), jnp.float32),
@@ -365,23 +405,31 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
 
+    def _grad_drop_bound(counts):
+        """Entries the backward pass will drop at the grad_cap — computable
+        in forward (it depends only on the per-tile counts)."""
+        n_written = jnp.int32(chunk) * jnp.sum(cdiv(counts, chunk))
+        return jnp.maximum(n_written - jnp.int32(grad_cap), 0)
+
     @jax.custom_vjp
     def core(means2d, conics, colors, opacities, depths, radii):
         b = isect_and_sort(
             means2d, conics, colors, opacities, depths, radii,
-            width, height, ts, chunk, max_t,
+            width, height, ts, chunk, max_t, class_budgets=class_budgets,
         )
         out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
-        return out, b.n_isect, b.n_dropped
+        return (out, b.n_isect, b.n_dropped, b.n_budget_dropped,
+                _grad_drop_bound(b.counts))
 
     def fwd(means2d, conics, colors, opacities, depths, radii):
         b = isect_and_sort(
             means2d, conics, colors, opacities, depths, radii,
-            width, height, ts, chunk, max_t,
+            width, height, ts, chunk, max_t, class_budgets=class_budgets,
         )
         out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
         res = (b.sorted_soa, b.tile_starts, b.counts, b.padded_starts, out)
-        return (out, b.n_isect, b.n_dropped), res
+        return (out, b.n_isect, b.n_dropped, b.n_budget_dropped,
+                _grad_drop_bound(b.counts)), res
 
     def bwd(res, cts):
         g = cts[0]  # (T, 8, P); stats cotangents ignored
@@ -410,17 +458,20 @@ def rasterize_tiled(
     height,
     bg=None,
     tile_size=16,
-    isect_capacity=None,   # kept for API compat; capacity is N*max_t (static)
+    isect_capacity=None,   # kept for API compat; capacity is static
     chunk=256,
     max_tiles_per_gaussian=16,
+    class_budgets=None,
     interpret=None,
     with_stats=False,
 ):
     """Full tiled rasterization: payload-sort binning (XLA) + Pallas fwd/bwd.
 
     Returns (image (H, W, 3), alpha (H, W), depth (H, W)) — plus a stats dict
-    (n_isect, n_dropped) when ``with_stats`` — differentiable w.r.t. the
-    gaussian inputs with analytic kernel gradients.
+    (n_isect, n_dropped, n_budget_dropped, n_grad_dropped) when
+    ``with_stats`` — differentiable w.r.t. the gaussian inputs with analytic
+    kernel gradients. ``class_budgets`` selects the compact footprint-class
+    binning (see ``tiling.isect_and_sort``).
     """
     N = means2d.shape[0]
     ts = tile_size
@@ -429,10 +480,14 @@ def rasterize_tiled(
     nty = cdiv(height, ts)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if class_budgets is not None:
+        class_budgets = tuple(int(b) for b in class_budgets)
 
     core = _make_core(ts, ntx, nty, chunk, N, max_tiles_per_gaussian,
-                      width, height, bool(interpret))
-    out, n_isect, n_dropped = core(means2d, conics, colors, opacities, depths, radii)
+                      width, height, bool(interpret),
+                      class_budgets=class_budgets)
+    out, n_isect, n_dropped, n_budget_dropped, n_grad_dropped = core(
+        means2d, conics, colors, opacities, depths, radii)
 
     img = out.reshape(nty, ntx, 8, ts, ts).transpose(0, 3, 1, 4, 2)
     img = img.reshape(nty * ts, ntx * ts, 8)[:height, :width]
@@ -442,5 +497,10 @@ def rasterize_tiled(
     if bg is not None:
         rgb = rgb + (1.0 - alpha_img)[..., None] * bg[None, None, :]
     if with_stats:
-        return rgb, alpha_img, depth_img, {"n_isect": n_isect, "n_dropped": n_dropped}
+        return rgb, alpha_img, depth_img, {
+            "n_isect": n_isect,
+            "n_dropped": n_dropped,
+            "n_budget_dropped": n_budget_dropped,
+            "n_grad_dropped": n_grad_dropped,
+        }
     return rgb, alpha_img, depth_img

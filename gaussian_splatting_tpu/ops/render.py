@@ -29,6 +29,7 @@ class RenderOut(NamedTuple):
     means2d: jnp.ndarray      # (N, 2)
     radii: jnp.ndarray        # (N,)
     visibility: jnp.ndarray   # (N,) bool — radius > 0
+    stats: Optional[dict] = None  # overflow counters (pallas backend only)
 
 
 def render(
@@ -49,18 +50,28 @@ def render(
     isect_capacity: Optional[int] = None,
     max_tiles_per_gaussian: int = 16,
     raster_chunk: int = 256,
+    class_budgets=None,
+    rasterize_mode: str = "classic",
+    with_stats: bool = False,
 ) -> RenderOut:
     """Render one view.
 
     Parameters are *raw* (log scales, logit opacities, unnormalized quats) —
     activations applied here, matching ``gaussian_model.py:86-88``.
     sh_coeffs: (N, K, 3) with K >= (sh_degree+1)^2.
+    ``rasterize_mode="antialiased"`` multiplies opacity by the covariance
+    compensation factor (gsplat's antialiased mode; differentiable through
+    the pure-JAX projection).
     """
     scales = scale_activation(log_scales)
     opac = opacity_activation(logit_opacities.reshape(-1))
     quats_n = quat_normalize(quats)
 
     proj = project_gaussians(means, quats_n, scales, viewmat, K, width, height)
+    if rasterize_mode == "antialiased":
+        opac = opac * proj.compensations
+    elif rasterize_mode != "classic":
+        raise ValueError(f"unknown rasterize_mode {rasterize_mode!r}")
 
     # View directions from the camera center to each gaussian (world frame).
     R = viewmat[:3, :3]
@@ -70,6 +81,7 @@ def render(
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
     colors = sh_to_color(sh_degree, sh_coeffs, dirs)  # (N, 3)
 
+    stats = None
     if backend == "ref":
         out = rasterize_reference(
             proj.means2d, proj.conics, colors, opac, proj.depths,
@@ -79,12 +91,17 @@ def render(
     elif backend == "pallas":
         from gaussian_splatting_tpu.ops.rasterize_pallas import rasterize_tiled
 
-        image, alpha_img, depth_img = rasterize_tiled(
+        res = rasterize_tiled(
             proj.means2d, proj.conics, colors, opac, proj.depths, proj.radii,
             width, height, bg=bg, tile_size=tile_size,
             isect_capacity=isect_capacity, chunk=raster_chunk,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
+            class_budgets=class_budgets, with_stats=with_stats,
         )
+        if with_stats:
+            image, alpha_img, depth_img, stats = res
+        else:
+            image, alpha_img, depth_img = res
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
@@ -109,4 +126,5 @@ def render(
         means2d=proj.means2d,
         radii=proj.radii,
         visibility=proj.radii > 0,
+        stats=stats,
     )

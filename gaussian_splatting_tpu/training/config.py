@@ -69,6 +69,14 @@ class TrainingConfig:
     auto_max_tiles: bool = True
     # Upper bound on N * max_t (sort entries) the auto mode may choose.
     max_sort_entries: int = 32_000_000
+    # Compact footprint-class binning (ops/tiling.py): per-class gaussian
+    # budgets for caps (1, 2, 4, ..., max_tiles_per_gaussian). None = dense
+    # N*max_t slots. "auto" binning measures the init population's class
+    # histogram and sets budgets with `class_budget_headroom` slack; overflow
+    # is counted every step (stats/n_budget_dropped) and rebudgeted.
+    binning: str = "auto"              # auto | compact | dense
+    class_budgets: Optional[tuple] = None
+    class_budget_headroom: float = 2.0
     backend: str = "auto"              # auto | pallas | ref
     isect_capacity_mult: int = 8       # capacity = mult * capacity_gaussians
     capacity_headroom: float = 1.5     # buffer capacity / population target

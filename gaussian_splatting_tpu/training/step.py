@@ -65,8 +65,15 @@ def make_train_step(
             # lax.scan over the view batch: ONE compiled render body instead
             # of B unrolled copies — same runtime (renders are sequential
             # anyway), ~B-times faster XLA compiles.
+            # Overflow counters (VERDICT round-1: tile-cap drops were
+            # invisible during training) — summed over the view batch and
+            # logged every step.
+            want_stats = backend == "pallas"
+            stat_keys = ("n_isect", "n_dropped", "n_budget_dropped",
+                         "n_grad_dropped") if want_stats else ()
+
             def render_one(carry, view):
-                total, m_acc, radii_max = carry
+                total, m_acc, radii_max, s_acc = carry
                 image, viewmat, K = view
                 out = render(
                     params.means, params.quats, params.log_scales, masked_op,
@@ -76,18 +83,23 @@ def make_train_step(
                     isect_capacity=isect_capacity,
                     max_tiles_per_gaussian=config.max_tiles_per_gaussian,
                     raster_chunk=config.raster_chunk,
+                    class_budgets=config.class_budgets,
+                    with_stats=want_stats,
                 )
                 radii_max = jnp.maximum(radii_max, jax.lax.stop_gradient(out.radii))
                 l, m = photometric_loss(out.render, image, config.lambda_dssim)
                 m_acc = {k: m_acc[k] + m[k] for k in m_acc}
-                return (total + l, m_acc, radii_max), None
+                if want_stats:
+                    s_acc = {k: s_acc[k] + out.stats[k] for k in stat_keys}
+                return (total + l, m_acc, radii_max, s_acc), None
 
             init = (
                 jnp.float32(0.0),
                 {"l1": jnp.float32(0.0), "ssim": jnp.float32(0.0), "psnr": jnp.float32(0.0)},
                 jnp.zeros_like(state.gauss.max_radii2d),
+                {k: jnp.int32(0) for k in stat_keys},
             )
-            (total, m_acc, radii_max), _ = jax.lax.scan(
+            (total, m_acc, radii_max, s_acc), _ = jax.lax.scan(
                 render_one, init, (batch.images, batch.viewmats, batch.Ks)
             )
             total = total / B
@@ -98,6 +110,7 @@ def make_train_step(
             total = total + reg
             metrics = {k: v / B for k, v in m_acc.items()}
             metrics["scale_reg"] = reg
+            metrics.update({f"stats/{k}": v for k, v in s_acc.items()})
             return total, (metrics, radii_max)
 
         (loss, (metrics, radii_max)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

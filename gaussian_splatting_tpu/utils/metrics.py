@@ -82,6 +82,36 @@ class MetricsLogger:
             except Exception:
                 pass
 
+    def log_histogram(self, name: str, values, step: Optional[int] = None,
+                      bins: int = 64) -> None:
+        """Real parameter histograms (reference logs these every 5k iters,
+        ``trainer.py:931-948``): bin edges + counts into the JSONL, mirrored
+        as a native wandb.Histogram when live."""
+        import numpy as np
+
+        arr = np.asarray(values).ravel()
+        arr = arr[np.isfinite(arr)]
+        if arr.size == 0:
+            return
+        counts, edges = np.histogram(arr, bins=bins)
+        self.log({
+            f"hist/{name}": {
+                "counts": counts.tolist(),
+                "min": float(edges[0]),
+                "max": float(edges[-1]),
+                "n": int(arr.size),
+            }
+        }, step=step)
+        if self.wandb_run is not None:
+            try:
+                import wandb
+
+                self.wandb_run.log(
+                    {name: wandb.Histogram(np_histogram=(counts, edges))},
+                    step=step)
+            except Exception:
+                pass
+
     def log_artifact(self, path: str, name: str, kind: str = "model") -> None:
         """Record a produced artifact (checkpoint/PLY) in the JSONL and, when
         wandb is live, upload it (reference ``train.py:144-155``)."""

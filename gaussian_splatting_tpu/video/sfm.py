@@ -187,8 +187,7 @@ class VideoSfM:
         poses.append(pose)
         base = len(points)
         Xk = X[keep]
-        p2k = p1[inl][keep]  # observation in frame 2... use frame2 coords:
-        p2k = p2[inl][keep]
+        p2k = p2[inl][keep]  # track observations live in frame-2 coords
         cols = self._colors_at(frame2, p2k)
         for j in range(len(Xk)):
             points.append(Xk[j])

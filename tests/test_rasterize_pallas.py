@@ -150,6 +150,110 @@ def test_pallas_gradients_match_oracle(rng):
                                    err_msg=f"grad mismatch: {name}")
 
 
+def test_compact_binning_matches_dense(rng):
+    """Compact footprint-class binning == dense slot layout, pixels AND
+    gradients, when every class has enough budget."""
+    width, height = 64, 48
+    args = _screen_gaussians(rng, 80, width, height)
+    n = 80
+    budgets = tuple(n for _ in range((32).bit_length()))  # caps 1..32
+
+    def f(mode_budgets, m, c, col, o, d):
+        return rasterize_tiled(
+            m, c, col, o, d, args[5], width, height, tile_size=16,
+            chunk=128, max_tiles_per_gaussian=32,
+            class_budgets=mode_budgets, interpret=True)
+
+    m, c, col, o, d, _ = args
+    img_d, alpha_d, dep_d = f(None, m, c, col, o, d)
+    img_c, alpha_c, dep_c = f(budgets, m, c, col, o, d)
+    np.testing.assert_allclose(np.asarray(img_c), np.asarray(img_d), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(alpha_c), np.asarray(alpha_d), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dep_c), np.asarray(dep_d), atol=1e-6)
+
+    timg = jnp.asarray(rng.uniform(size=(height, width, 3)), jnp.float32)
+
+    def loss(bud, *a):
+        img, alpha, depth = f(bud, *a)
+        return jnp.sum((img - timg) ** 2) + 0.3 * jnp.sum(alpha**2)
+
+    g_d = jax.grad(lambda *a: loss(None, *a), argnums=(0, 1, 2, 3, 4))(m, c, col, o, d)
+    g_c = jax.grad(lambda *a: loss(budgets, *a), argnums=(0, 1, 2, 3, 4))(m, c, col, o, d)
+    for name, gd, gc in zip(["means2d", "conics", "colors", "opac", "depths"], g_d, g_c):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gd), atol=1e-6,
+                                   err_msg=f"compact grad mismatch: {name}")
+
+
+def test_compact_budget_overflow_counted(rng):
+    """Tight class budgets drop whole gaussians — the drops must be counted
+    in n_budget_dropped and the render must stay finite."""
+    width, height = 64, 48
+    m, c, col, o, d, radii = _screen_gaussians(rng, 60, width, height)
+    # Starve every class: budget 4 gaussians per class.
+    budgets = tuple(4 for _ in range((16).bit_length()))
+    img, alpha, depth, stats = rasterize_tiled(
+        m, c, col, o, d, radii, width, height, tile_size=16, chunk=128,
+        max_tiles_per_gaussian=16, class_budgets=budgets,
+        interpret=True, with_stats=True)
+    assert int(stats["n_budget_dropped"]) > 0
+    assert int(stats["n_isect"]) > 0
+    assert np.isfinite(np.asarray(img)).all()
+    # Dense mode on the same scene reports zero budget drops.
+    *_, stats_d = rasterize_tiled(
+        m, c, col, o, d, radii, width, height, tile_size=16, chunk=128,
+        max_tiles_per_gaussian=16, interpret=True, with_stats=True)
+    assert int(stats_d["n_budget_dropped"]) == 0
+    assert int(stats_d["n_isect"]) >= int(stats["n_isect"])
+
+
+def test_tile_cap_overflow_counted(rng):
+    """A deliberately truncating max_tiles cap reports nonzero n_dropped
+    (VERDICT round-1: these drops were invisible during training)."""
+    width, height = 64, 48
+    m, c, col, o, d, radii = _screen_gaussians(rng, 40, width, height,
+                                               radius_scale=6.0)
+    *_, stats = rasterize_tiled(
+        m, c, col, o, d, radii, width, height, tile_size=16, chunk=128,
+        max_tiles_per_gaussian=2, interpret=True, with_stats=True)
+    assert int(stats["n_dropped"]) > 0
+    assert set(stats) == {"n_isect", "n_dropped", "n_budget_dropped",
+                          "n_grad_dropped"}
+
+
+def test_opacity_cull_is_exact(rng):
+    """Gaussians with opacity < 1/255 are culled in binning; pixels and
+    gradients must equal the oracle (whose alpha-skip gate zeroes them)."""
+    width, height = 48, 32
+    m, c, col, o, d, radii = _screen_gaussians(rng, 50, width, height)
+    o = o.at[::3].set(1e-3)  # below the 1/255 gate
+    timg = jnp.asarray(rng.uniform(size=(height, width, 3)), jnp.float32)
+
+    def loss(fn, *a):
+        img, alpha, _ = fn(*a)
+        return jnp.sum((img - timg) ** 2) + 0.1 * jnp.sum(alpha**2)
+
+    def f_ref(*a):
+        out = rasterize_reference(*a, radii, width, height, tile_size=16)
+        return out.image, out.alpha, out.depth
+
+    def f_pal(*a):
+        return rasterize_tiled(*a, radii, width, height, tile_size=16,
+                               chunk=128, interpret=True)
+
+    a = (m, c, col, o, d)
+    np.testing.assert_allclose(float(loss(f_pal, *a)), float(loss(f_ref, *a)),
+                               rtol=1e-5)
+    g_ref = jax.grad(lambda *x: loss(f_ref, *x), argnums=(0, 3))(*a)
+    g_pal = jax.grad(lambda *x: loss(f_pal, *x), argnums=(0, 3))(*a)
+    for name, gr, gp in zip(["means2d", "opacities"], g_ref, g_pal):
+        gr, gp = np.asarray(gr), np.asarray(gp)
+        scale = np.abs(gr).max() + 1e-8
+        np.testing.assert_allclose(gp, gr, atol=2e-4 * scale, rtol=1e-3,
+                                   err_msg=f"grad mismatch: {name}")
+    # Culled gaussians get exactly zero opacity gradient.
+    assert np.all(np.asarray(g_pal[1])[::3] == 0.0)
+
+
 def test_full_render_pallas_vs_ref_3d(rng):
     """End-to-end 3D: same camera/params through both backends, image + grads."""
     width = height = 32

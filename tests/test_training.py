@@ -341,17 +341,19 @@ def test_scene_geometry_outlier_filter():
 
 
 def test_choose_max_tiles_adapts(rng):
-    """Sparse clouds with big kNN scales get a bigger tile-footprint cap."""
+    """Sparse clouds with big kNN scales get a bigger tile-footprint cap.
+    The cap is chosen from EXACT clipped tile counts, so the image must have
+    more than max_tiles_per_gaussian tiles for a raise to be possible."""
     from gaussian_splatting_tpu.training.trainer import GaussianTrainer
 
-    ds, gt_means = _synthetic_scene(rng, n_views=3)
+    ds, gt_means = _synthetic_scene(rng, n_views=3, width=128, height=128)
     cfg = TrainingConfig()
     # Big scales -> big footprints.
     st = init_from_points(gt_means, None, 64, capacity=128)
     st = dataclasses.replace(
         st, params=dataclasses.replace(
             st.params, log_scales=jnp.full_like(st.params.log_scales, jnp.log(0.8))))
-    chosen = GaussianTrainer._choose_max_tiles(
+    chosen = GaussianTrainer(cfg)._choose_max_tiles(
         TrainState(gauss=st, opt=adam_init(st.params), iteration=jnp.int32(0)),
         ds, cfg)
     assert chosen > cfg.max_tiles_per_gaussian
@@ -360,7 +362,7 @@ def test_choose_max_tiles_adapts(rng):
     st2 = dataclasses.replace(
         st, params=dataclasses.replace(
             st.params, log_scales=jnp.full_like(st.params.log_scales, jnp.log(0.01))))
-    chosen2 = GaussianTrainer._choose_max_tiles(
+    chosen2 = GaussianTrainer(cfg)._choose_max_tiles(
         TrainState(gauss=st2, opt=adam_init(st2.params), iteration=jnp.int32(0)),
         ds, cfg)
     assert chosen2 == cfg.max_tiles_per_gaussian
