@@ -1,22 +1,23 @@
-"""Sharded training step via ``shard_map`` over a ("data", "model") mesh.
+"""Sharded training step via ``shard_map`` over a ("data", "model") mesh,
+with ZeRO-style gaussian-sharded parameters and optimizer state.
 
 Per step, on each chip (d, m):
-1. TP-analog: project + SH-decode gaussians [m*C/M, (m+1)*C/M) only, then
-   ``all_gather`` the compact screen-space tensors (10 floats/gaussian
-   vs 59 parameter floats) over the ``model`` axis — ICI traffic scales with
-   the *screen* representation, not the parameter state.
+1. TP-analog: parameters, Adam moments, and densify accumulators are
+   SHARDED over the ``model`` axis (each chip holds C/M gaussians — per-chip
+   state memory is 1/M of replicated, which is what makes the 10M-gaussian
+   config trainable). The chip projects + SH-decodes only its shard, then
+   ``all_gather``s the compact screen-space tensors (10 floats/gaussian vs
+   59 parameter floats) over ``model`` — ICI traffic scales with the
+   *screen* representation, not the parameter state.
 2. SP-analog: rasterize the chip's horizontal tile band (height/M rows,
    shifted viewport) of its local views (batch/D) against all gaussians.
-3. Photometric loss masked to valid rows; ``psum`` over both axes.
+3. Photometric loss masked to valid rows; SSIM is EXACT at band boundaries
+   via a 1-row halo exchange (``ppermute`` over ``model`` — unpaired edges
+   receive zeros, which is precisely the global zero-padding semantics);
+   ``psum`` over both axes.
 4. Backward retraces the same path: XLA inserts ``psum_scatter`` for the
-   all_gather transpose and ``psum`` for the replicated parameters —
-   per-gaussian gradient all-reduce rides ICI, overlapped by the compiler
-   with the backward band sweep.
-
-SSIM caveat: the reference's 3x3 avg-pool SSIM (``trainer.py:354-371``) is
-computed per band; the 2 rows at each interior band boundary see zero padding
-instead of neighbor-band pixels (≈1% of pixels at 1080p over 8 bands).
-L1/PSNR are exact.
+   all_gather transpose (per-gaussian gradients come back already sharded)
+   and ``psum`` over ``data`` — the Adam update then runs shard-local.
 """
 
 import dataclasses
@@ -41,10 +42,30 @@ from gaussian_splatting_tpu.training.optimizer import (
 from gaussian_splatting_tpu.training.step import TrainState, ViewBatch
 
 
-def _masked_ssim_sum(img1, img2, mask):
+def _halo_extend_rows(img, axis_name):
+    """Prepend/append one row exchanged with the neighbor bands along
+    ``axis_name`` (``ppermute``; edge bands receive zeros — exactly the
+    global SSIM's zero-padding semantics)."""
+    M = jax.lax.axis_size(axis_name)
+    if M == 1:
+        z = jnp.zeros_like(img[:1])
+        return jnp.concatenate([z, img, z], axis=0)
+    top_halo = jax.lax.ppermute(
+        img[-1:], axis_name, [(m, m + 1) for m in range(M - 1)])
+    bot_halo = jax.lax.ppermute(
+        img[:1], axis_name, [(m, m - 1) for m in range(1, M)])
+    return jnp.concatenate([top_halo, img, bot_halo], axis=0)
+
+
+def _masked_ssim_sum(img1, img2, mask, axis_name=None):
     """Sum (not mean) of the SSIM map over masked pixels, so bands combine
-    into a global mean by dividing by the total valid-pixel count."""
+    into a global mean by dividing by the total valid-pixel count. With
+    ``axis_name``, a 1-row halo exchange makes the 3x3 windows exact at band
+    boundaries (round-1 approximated them with zero padding)."""
     C1, C2 = 0.01**2, 0.03**2
+    if axis_name is not None:
+        img1 = _halo_extend_rows(img1, axis_name)
+        img2 = _halo_extend_rows(img2, axis_name)
     mu1, mu2 = _avg_pool3(img1), _avg_pool3(img2)
     s1 = _avg_pool3(img1 * img1) - mu1 * mu1
     s2 = _avg_pool3(img2 * img2) - mu2 * mu2
@@ -52,6 +73,8 @@ def _masked_ssim_sum(img1, img2, mask):
     m = ((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) / (
         (mu1 * mu1 + mu2 * mu2 + C1) * (s1 + s2 + C2)
     )
+    if axis_name is not None:
+        m = m[1:-1]
     return jnp.sum(m * mask)
 
 
@@ -76,30 +99,32 @@ def make_sharded_train_step(
     lam = config.lambda_dssim
 
     def local_loss(params, alive, images, viewmats, Ks):
-        """Runs per-shard inside shard_map.
+        """Runs per-shard inside shard_map. ``params``/``alive`` arrive as
+        this chip's gaussian SHARD (ZeRO: C/M rows of every tensor);
         images: (Bl, band_h, W, 3); viewmats/Ks: (Bl, ...)."""
         midx = jax.lax.axis_index("model")
         y0 = (midx * band_h).astype(jnp.float32)
-        C = params.means.shape[0]
-        Cs = C // M
-        start = midx * Cs
+        Cs = params.means.shape[0]
 
-        # Phase 1 — project only this chip's gaussian slice.
-        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, Cs, axis=0)
-        means_s = sl(params.means)
-        quats_s = quat_normalize(sl(params.quats))
-        scales_s = scale_activation(sl(params.log_scales))
-        sh_s = sl(params.sh_coeffs)
+        # Phase 1 — project this chip's gaussian shard.
+        means_s = params.means
+        quats_s = quat_normalize(params.quats)
+        scales_s = scale_activation(params.log_scales)
+        sh_s = params.sh_coeffs
         opac_s = opacity_activation(
-            jnp.where(sl(alive)[:, None], sl(params.logit_opacities), -20.0)
+            jnp.where(alive[:, None], params.logit_opacities, -20.0)
         )[:, 0]
 
         Bl = images.shape[0]
         rows = jnp.arange(band_h, dtype=jnp.float32)[:, None, None]
         valid = (rows + y0) < float(height)  # (band_h, 1, 1)
 
+        want_stats = backend == "pallas"
+        stat_keys = ("n_isect", "n_dropped", "n_budget_dropped",
+                     "n_grad_dropped") if want_stats else ()
+
         def render_one(carry, view):
-            l1_sum, ssim_sum, mse_sum = carry
+            l1_sum, ssim_sum, mse_sum, radii_max, s_acc = carry
             gt, viewmat, K = view
             proj = project_gaussians(
                 means_s, quats_s, scales_s, viewmat, K, width, height
@@ -125,12 +150,15 @@ def make_sharded_train_step(
             if backend == "pallas":
                 from gaussian_splatting_tpu.ops.rasterize_pallas import rasterize_tiled
 
-                img, alpha_img, _ = rasterize_tiled(
+                img, alpha_img, _, stats = rasterize_tiled(
                     means2d_band, conics, colors, opac, depths, radii,
                     width, band_h, tile_size=ts,
                     isect_capacity=isect_capacity, chunk=config.raster_chunk,
                     max_tiles_per_gaussian=config.max_tiles_per_gaussian,
+                    class_budgets=config.class_budgets,
+                    with_stats=True,
                 )
+                s_acc = {k: s_acc[k] + stats[k] for k in stat_keys}
             else:
                 out = rasterize_reference(
                     means2d_band, conics, colors, opac, depths, radii,
@@ -138,16 +166,24 @@ def make_sharded_train_step(
                 )
                 img = out.image
 
-            r = stclamp(img)
+            radii_max = jnp.maximum(radii_max, jax.lax.stop_gradient(radii))
             diff_mask = valid.astype(img.dtype)
+            # Zero the pad rows before SSIM: the single-chip SSIM never sees
+            # them, and its bottom-edge 3x3 windows zero-pad — the masked
+            # render must look identical to those windows.
+            r = stclamp(img) * diff_mask
             l1_b = jnp.sum(jnp.abs(r - gt) * diff_mask)
-            ssim_b = _masked_ssim_sum(r, gt, diff_mask)
+            ssim_b = _masked_ssim_sum(r, gt, diff_mask, axis_name="model")
             mse_b = jnp.sum(((jnp.clip(img, 0, 1) - gt) ** 2) * diff_mask)
-            return (l1_sum + l1_b, ssim_sum + ssim_b, mse_sum + mse_b), None
+            return (l1_sum + l1_b, ssim_sum + ssim_b, mse_sum + mse_b,
+                    radii_max, s_acc), None
 
-        (l1_sum, ssim_sum, mse_sum), _ = jax.lax.scan(
+        C_full = Cs * M
+        (l1_sum, ssim_sum, mse_sum, radii_max, s_acc), _ = jax.lax.scan(
             render_one,
-            (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)),
+            (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+             jnp.zeros((C_full,), jnp.int32),
+             {k: jnp.int32(0) for k in stat_keys}),
             (images, viewmats, Ks),
         )
 
@@ -163,36 +199,66 @@ def make_sharded_train_step(
         loss = (1.0 - lam) * l1 + lam * (1.0 - ssim_mean)
         psnr = jnp.where(mse < 1e-10, 100.0, -10.0 * jnp.log10(jnp.maximum(mse, 1e-10)))
         metrics = {"l1": l1, "ssim": ssim_mean, "psnr": psnr}
-        return loss, metrics
+        # Overflow counters summed over the mesh (bands partition the tile
+        # grid, so per-band counts add up to the single-chip totals).
+        for k in stat_keys:
+            metrics[f"stats/{k}"] = jax.lax.psum(s_acc[k], ("data", "model"))
+        # Densify bookkeeping: per-gaussian max screen radius across all
+        # bands/views, returned as this chip's shard (the gathered radii are
+        # identical across "model"; reduce over "data").
+        radii_max = jax.lax.dynamic_slice_in_dim(radii_max, midx * Cs, Cs, 0)
+        radii_max = jax.lax.pmax(radii_max, "data")
+        return loss, (metrics, radii_max)
 
+    metric_keys = ["l1", "ssim", "psnr"]
+    if backend == "pallas":
+        metric_keys += [f"stats/{k}" for k in (
+            "n_isect", "n_dropped", "n_budget_dropped", "n_grad_dropped")]
     sharded_loss = shard_map(
         local_loss,
         mesh=mesh,
         in_specs=(
-            P(),                      # params replicated
-            P(),                      # alive replicated
+            P("model"),               # params: ZeRO-sharded over gaussians
+            P("model"),               # alive: sharded with the params
             P("data", "model", None, None),  # images: views x bands
             P("data", None, None),    # viewmats per-view
             P("data", None, None),    # Ks
         ),
-        out_specs=(P(), {"l1": P(), "ssim": P(), "psnr": P()}),
+        out_specs=(P(), ({k: P() for k in metric_keys}, P("model"))),
         check_vma=False,
     )
 
+    # ZeRO placement: every leading-dim-C tensor (params, Adam moments,
+    # densify accumulators, alive) lives sharded over the "model" axis; the
+    # optimizer update below then runs shard-local and per-chip state memory
+    # is 1/M of replicated.
+    gauss_sharding = jax.sharding.NamedSharding(mesh, P("model"))
+
+    def shard_state(state: TrainState) -> TrainState:
+        C = state.gauss.params.means.shape[0]
+        if C % M != 0:
+            raise ValueError(f"capacity {C} must divide model axis {M}")
+        return jax.tree_util.tree_map(
+            lambda x: (jax.lax.with_sharding_constraint(x, gauss_sharding)
+                       if hasattr(x, "ndim") and x.ndim >= 1
+                       and x.shape[0] == C else x),
+            state)
+
     def step(state: TrainState, batch: ViewBatch):
+        state = shard_state(state)
+
         def loss_fn(params):
-            loss, metrics = sharded_loss(
+            loss, (metrics, radii_max) = sharded_loss(
                 params, state.gauss.alive, batch.images, batch.viewmats, batch.Ks
             )
             reg = scale_ratio_reg(
                 params.log_scales, state.gauss.alive,
                 config.scale_reg_max_ratio, config.scale_reg_weight,
             )
-            return loss + reg, dict(metrics, scale_reg=reg)
+            return loss + reg, (dict(metrics, scale_reg=reg), radii_max)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.gauss.params
-        )
+        (loss, (metrics, radii_max)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.gauss.params)
         xyz_lr = xyz_lr_schedule(config, state.iteration)
         lrs = group_lrs(config, xyz_lr)
         new_params, new_opt = adam_update(
@@ -209,9 +275,18 @@ def make_sharded_train_step(
             params=new_params,
             xyz_grad_accum=state.gauss.xyz_grad_accum + gnorm,
             xyz_grad_count=state.gauss.xyz_grad_count + 1.0,
+            max_radii2d=jnp.maximum(state.gauss.max_radii2d, radii_max),
         )
-        new_state = TrainState(gauss=gauss, opt=new_opt, iteration=state.iteration + 1)
-        return new_state, dict(metrics, loss=loss, xyz_lr=xyz_lr)
+        new_state = shard_state(
+            TrainState(gauss=gauss, opt=new_opt, iteration=state.iteration + 1))
+        # Per-group gradient norms — keep mesh runs logging everything the
+        # single-chip step does (training/step.py).
+        gn = {
+            f"grad_norm/{k}": jnp.linalg.norm(getattr(grads, k))
+            for k in ("means", "quats", "log_scales", "logit_opacities",
+                      "features_dc", "features_rest")
+        }
+        return new_state, dict(metrics, loss=loss, xyz_lr=xyz_lr, **gn)
 
     donate_args = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_args), band_h, h_pad

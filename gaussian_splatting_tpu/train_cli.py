@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None, help="checkpoint .npz to resume from")
     p.add_argument("--mesh-data", type=int, default=None)
     p.add_argument("--mesh-model", type=int, default=None)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() before device use "
+                        "(coordinator/process env vars: COORDINATOR_ADDRESS, "
+                        "NUM_PROCESSES, PROCESS_ID; auto-detected on TPU pods)")
     p.add_argument("--wandb-mode", default=None)
     p.add_argument("--wandb-project", default=None)
     p.add_argument("--wandb-run-name", default=None)
@@ -107,6 +111,12 @@ def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(levelname)s %(message)s")
     args = build_parser().parse_args(argv)
+
+    if args.multihost:
+        # Must run before any other jax device use.
+        from gaussian_splatting_tpu.parallel.mesh import init_multihost
+
+        init_multihost()
 
     from gaussian_splatting_tpu.utils.cache import enable_compile_cache
 
