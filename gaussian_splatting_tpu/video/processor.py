@@ -162,7 +162,19 @@ class MultiVideoProcessor:
 
         for data in per_video[1:]:
             src = np.asarray(data["points_3d"])
-            s, R, t, method = align_clouds(src, all_points[0])
+            # Cross-video 3D-3D correspondences enable the RANSAC similarity
+            # path (reference RANSAC.py:15-174 intent, done correctly —
+            # video/correspond.py); PCA+ICP remains the no-overlap fallback.
+            corr = None
+            try:
+                from gaussian_splatting_tpu.video.correspond import (
+                    cross_video_correspondences,
+                )
+
+                corr = cross_video_correspondences(data, ref)
+            except Exception as e:
+                log.warning("cross-video correspondence generation failed: %s", e)
+            s, R, t, method = align_clouds(src, all_points[0], correspondences=corr)
             log.info("aligned %s via %s (scale %.3f)", data["video_info"]["path"], method, s)
             pts = (s * (R @ src.T)).T + t
             poses = np.stack([

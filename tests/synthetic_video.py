@@ -68,19 +68,26 @@ def render_frame(pts, cols, sizes, K, view, width, height):
 
 
 def write_synthetic_video(path, n_frames=60, width=320, height=240, seed=0,
-                          fps=30.0):
+                          fps=30.0, arc_range=(0.0, 1.0), scene_seed=None):
     """Camera arcs sideways while looking at the cloud center. Returns
-    (K, true world-to-camera poses)."""
-    rng = np.random.default_rng(seed)
+    (K, true world-to-camera poses).
+
+    ``arc_range`` selects a sub-segment of the parametric camera path and
+    ``scene_seed`` fixes the scene independently of ``seed`` — two videos
+    with the same scene_seed and overlapping arc_ranges see the same scene
+    from partially overlapping trajectories (cross-video alignment tests).
+    """
+    rng = np.random.default_rng(scene_seed if scene_seed is not None else seed)
     pts, cols, sizes = make_scene(rng)
     f = 1.2 * max(width, height)
     K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1.0]])
     fourcc = cv2.VideoWriter.fourcc(*"mp4v")
     vw = cv2.VideoWriter(str(path), fourcc, fps, (width, height))
     assert vw.isOpened(), "cv2.VideoWriter failed to open"
+    a0, a1 = arc_range
     poses = []
     for i in range(n_frames):
-        s = i / max(n_frames - 1, 1)
+        s = a0 + (a1 - a0) * i / max(n_frames - 1, 1)
         eye = (-1.2 + 2.4 * s, 0.3 * np.sin(2 * np.pi * s), -0.5 + 0.3 * s)
         view = look_at_np(eye, (0.0, 0.0, 3.5))
         frame = render_frame(pts, cols, sizes, K, view, width, height)
