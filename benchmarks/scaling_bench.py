@@ -8,9 +8,16 @@ virtual CPU devices it validates the sharded path end-to-end and reports the
 Run: python benchmarks/scaling_bench.py [n_gaussians] [side]
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python benchmarks/scaling_bench.py 8192 128   # virtual-mesh validation
+
+Multi-host (config 5, 1 -> N hosts over DCN): launch the same command on
+every host with --multihost (or MULTIHOST=1) and the standard coordinator
+env vars (COORDINATOR_ADDRESS, NUM_PROCESSES, PROCESS_ID; auto-detected on
+TPU pods) — jax.devices() then spans hosts and the mesh shapes below cover
+the global device count.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -18,8 +25,14 @@ import numpy as np
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
-    side = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    args = [a for a in sys.argv[1:] if a != "--multihost"]
+    n = int(args[0]) if len(args) > 0 else 65536
+    side = int(args[1]) if len(args) > 1 else 256
+
+    if "--multihost" in sys.argv or os.environ.get("MULTIHOST"):
+        from gaussian_splatting_tpu.parallel.mesh import init_multihost
+
+        init_multihost()
 
     import jax
     import jax.numpy as jnp

@@ -20,8 +20,9 @@ Gaussians behind the near plane or with degenerate covariance are masked out
 (radius = 0), never dropped — static shapes everywhere.
 """
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from gaussian_splatting_tpu.core.quaternions import quat_normalize, quat_to_rotmat
@@ -57,6 +58,7 @@ def project_gaussians(
     near_plane: float = 0.01,
     far_plane: float = 1e10,
     radius_clip: float = 0.0,
+    opacities: Optional[jnp.ndarray] = None,
 ) -> Projected:
     """Project N gaussians through one camera. Differentiable w.r.t.
     means/quats/scales (camera grads unused by the trainer, matching the
@@ -113,11 +115,21 @@ def project_gaussians(
     conic_c = a * inv_det
     conics = jnp.stack([conic_a, conic_b, conic_c], axis=-1)
 
-    # 3-sigma screen radius from the max eigenvalue of Sigma2.
+    # Screen radius from the max eigenvalue of Sigma2. The support of a
+    # contribution is alpha = op * exp(-s) >= 1/255, i.e. s <= ln(255*op):
+    # with opacities given, the radius shrinks to sqrt(2*ln(255*op)) sigma
+    # (capped at the classic 3 sigma) — EXACT, since pixels outside can
+    # never pass the kernels' alpha gate; low-opacity gaussians bin to far
+    # fewer tiles (gsplat's opacity-aware culling).
     mid = 0.5 * (a + c)
     disc = jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
     lambda_max = mid + disc
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda_max, 0.0)))
+    sigma_mult = jnp.float32(3.0)
+    if opacities is not None:
+        op = jax.lax.stop_gradient(opacities.reshape(-1).astype(jnp.float32))
+        s_cut = jnp.log(jnp.maximum(op, 1e-12) * 255.0)
+        sigma_mult = jnp.minimum(3.0, jnp.sqrt(2.0 * jnp.maximum(s_cut, 1e-12)))
+    radius_f = jnp.ceil(sigma_mult * jnp.sqrt(jnp.maximum(lambda_max, 0.0)))
 
     mean_x = fx * x * rz + cx
     mean_y = fy * y * rz + cy

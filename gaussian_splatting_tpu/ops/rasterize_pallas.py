@@ -102,6 +102,20 @@ def _pixel_coords(t, ts, ntx):
     return px, py
 
 
+def _moment_basis(ts):
+    """Static (6, P) basis of tile-LOCAL pixel monomials
+    [1, x, y, x^2, x*y, y^2]. The backward's six per-entry reductions are
+    moments of d_sigma against this basis — ONE MXU matmul instead of six
+    VPU reduction chains. Tile-local coords keep x^2 <= 256 so the binomial
+    recombination below loses no f32 precision."""
+    P = ts * ts
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    x = (pidx % ts).astype(jnp.float32) + 0.5
+    y = (pidx // ts).astype(jnp.float32) + 0.5
+    one = jnp.ones((1, P), jnp.float32)
+    return jnp.concatenate([one, x, y, x * x, x * y, y * y], axis=0)
+
+
 def _fwd_kernel(starts_ref, counts_ref, soa_ref, out_ref, scratch, sem,
                 *, ts, ntx, chunk):
     P = ts * ts
@@ -201,6 +215,9 @@ def _bwd_kernel(starts_ref, counts_ref, pstarts_ref, soa_ref, aux_ref, grad_ref,
     n_chunks = pl.cdiv(count, chunk)
     px, py = _pixel_coords(t, ts, ntx)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    basis = _moment_basis(ts)                       # (6, P) static
+    ox = ((t % ntx) * ts).astype(jnp.float32)       # tile origin
+    oy = ((t // ntx) * ts).astype(jnp.float32)
 
     gpix = aux_ref[0, 0:8, :]   # (8, P) cotangent of the forward accumulators
     fout = aux_ref[0, 8:16, :]  # (8, P) saved forward output
@@ -280,15 +297,30 @@ def _bwd_kernel(starts_ref, counts_ref, pstarts_ref, soa_ref, aux_ref, grad_ref,
         d_alpha = jnp.where(mask, gw * t_before - suffix / one_m, 0.0)
 
         gate = contrib & (araw <= ALPHA_CLAMP)
-        d_op_pg = jnp.where(gate, d_alpha * vis, 0.0)
         d_sigma = jnp.where(gate, -d_alpha * araw, 0.0)
 
-        dmx = jnp.sum(-(ca * dx + cb * dy) * d_sigma, axis=0, keepdims=True)
-        dmy = jnp.sum(-(cc * dy + cb * dx) * d_sigma, axis=0, keepdims=True)
-        dca = jnp.sum(0.5 * dx * dx * d_sigma, axis=0, keepdims=True)
-        dcb = jnp.sum(dx * dy * d_sigma, axis=0, keepdims=True)
-        dcc = jnp.sum(0.5 * dy * dy * d_sigma, axis=0, keepdims=True)
-        dop = jnp.sum(d_op_pg, axis=0, keepdims=True)
+        # The six per-entry reductions are pixel-monomial moments of
+        # d_sigma: ONE (6, P) @ (P, K) MXU matmul against the static
+        # tile-local basis replaces six VPU reduction chains, then a small
+        # per-entry binomial recombination shifts to gaussian-centered
+        # moments. d_opacity needs no reduction of its own:
+        # d_alpha*vis = -d_sigma/op pixelwise, so dop = -M0/op.
+        mom = jax.lax.dot_general(
+            basis, d_sigma, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC,
+        )  # (6, K): [S, Sx, Sy, Sxx, Sxy, Syy] in tile-local pixel coords
+        m0, m_x, m_y = mom[0:1], mom[1:2], mom[2:3]
+        m_xx, m_xy, m_yy = mom[3:4], mom[4:5], mom[5:6]
+        mxl = data[0:1, :] - ox   # gaussian mean in tile-local coords
+        myl = data[1:2, :] - oy
+        sdx = m_x - mxl * m0      # sum(dx * d_sigma)
+        sdy = m_y - myl * m0
+        dmx = -(ca * sdx + cb * sdy)
+        dmy = -(cc * sdy + cb * sdx)
+        dca = 0.5 * (m_xx - 2.0 * mxl * m_x + mxl * mxl * m0)
+        dcb = m_xy - mxl * m_y - myl * m_x + mxl * myl * m0
+        dcc = 0.5 * (m_yy - 2.0 * myl * m_y + myl * myl * m0)
+        dop = jnp.where(op > 1e-12, -m0 / jnp.maximum(op, 1e-12), 0.0)
         d_extras = jax.lax.dot_general(
             gpix, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PREC,
@@ -359,12 +391,20 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
     T = ntx * nty
     n_slots = total_slots(N, max_t, class_budgets)
     pcap = padded_capacity_for(n_slots, T, chunk)
-    # Gradient-buffer capacity: the worst case (pcap) assumes every slot of
-    # every gaussian is a real intersection; typical scenes use a fraction.
-    # Writes beyond the cap are dropped (those entries lose their gradient
-    # for one step — the same degraded mode as CUDA implementations that cap
-    # their intersection buffers); the cap is a config knob.
-    grad_cap = min(pcap, cdiv(grad_cap_mult * N + T * chunk, chunk) * chunk)
+    # Gradient-buffer capacity. With compact class budgets, pcap itself is a
+    # tight exact bound (n_written <= slots + T*chunk), so no drops occur;
+    # the dense layout keeps the grad_cap_mult knob (worst-case pcap assumes
+    # every slot real). Writes beyond the cap are dropped AND counted
+    # (stats/n_grad_dropped). Like the sort slots, the grad sort pays for
+    # the next pow2 of its length, so a bound within 20% above a pow2 snaps
+    # down to it.
+    if class_budgets is None:
+        bound = min(pcap, cdiv(grad_cap_mult * N + T * chunk, chunk) * chunk)
+    else:
+        bound = pcap
+    p2f = 1 << (max(bound, 2).bit_length() - 1)
+    grad_cap = p2f if bound <= int(1.2 * p2f) else bound
+    grad_cap = min(grad_cap // chunk * chunk, pcap)
 
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, ts=ts, ntx=ntx, chunk=chunk),

@@ -67,7 +67,10 @@ def render(
     opac = opacity_activation(logit_opacities.reshape(-1))
     quats_n = quat_normalize(quats)
 
-    proj = project_gaussians(means, quats_n, scales, viewmat, K, width, height)
+    # Opacity-aware radii: the pre-compensation opacity is an upper bound on
+    # the effective one, so the shrunken support stays exact.
+    proj = project_gaussians(means, quats_n, scales, viewmat, K, width, height,
+                             opacities=opac)
     if rasterize_mode == "antialiased":
         opac = opac * proj.compensations
     elif rasterize_mode != "classic":

@@ -85,6 +85,28 @@ def class_caps(max_t: int) -> Tuple[int, ...]:
     return tuple(1 << c for c in range(max_t.bit_length()))
 
 
+def fill_budgets_to_pow2(min_budgets, caps, max_headroom: float = 2.5,
+                         align: int = 128, overhead: int = 0) -> Tuple[int, ...]:
+    """Scale minimal class budgets up to (but not past) the next power of
+    two of the total sort length. Measured on v5e: ``lax.sort`` cost tracks
+    the NEXT POW2 of its length (bitonic padding) — 10.25M slots sorts like
+    16M, 7.18M like 8M — so headroom below the boundary is free and slack
+    above it costs ~2x. ``overhead`` accounts for the gradient buffer's
+    extra T*chunk entries so the SECOND (grad) sort stays under the same
+    boundary as the binning sort."""
+    s_min = sum(int(b) * int(c) for b, c in zip(min_budgets, caps))
+    if s_min <= 0:
+        return tuple(int(b) for b in min_budgets)
+    p2 = 1 << (s_min + overhead - 1).bit_length()
+    target = p2 - overhead
+    f = max(1.0, min(max_headroom, 0.98 * target / s_min))
+    out = []
+    for b in min_budgets:
+        scaled = int(b * f) // align * align
+        out.append(max(int(b), scaled))
+    return tuple(out)
+
+
 def total_slots(n: int, max_t: int,
                 class_budgets: Optional[Tuple[int, ...]]) -> int:
     """Static sort size M for a given binning mode."""

@@ -127,7 +127,8 @@ def make_sharded_train_step(
             l1_sum, ssim_sum, mse_sum, radii_max, s_acc = carry
             gt, viewmat, K = view
             proj = project_gaussians(
-                means_s, quats_s, scales_s, viewmat, K, width, height
+                means_s, quats_s, scales_s, viewmat, K, width, height,
+                opacities=opac_s,
             )
             R = viewmat[:3, :3]
             t = viewmat[:3, 3]

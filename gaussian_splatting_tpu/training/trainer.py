@@ -172,7 +172,8 @@ class GaussianTrainer:
         over a few views, take the per-class max, add headroom. Overflow at
         runtime is counted (stats/n_budget_dropped) and triggers a
         re-measure."""
-        from gaussian_splatting_tpu.ops.tiling import class_caps
+        from gaussian_splatting_tpu.ops.tiling import (
+            class_caps, fill_budgets_to_pow2)
 
         caps = np.asarray(class_caps(int(max_t)), np.int64)
         L = len(caps)
@@ -182,8 +183,18 @@ class GaussianTrainer:
             per_view.append(np.bincount(cls, minlength=L)[:L])
         counts = (np.max(per_view, axis=0) if per_view
                   else np.zeros(L, np.int64))
-        budgets = (np.ceil(counts * cfg.class_budget_headroom / 128.0)
-                   .astype(np.int64) * 128 + 128)
+        # Minimal budgets (1.1x + slack), then fill free headroom up to the
+        # next pow2 of the slot total — lax.sort pays for the pow2 padding
+        # anyway, so slack below the boundary costs nothing.
+        budgets = (np.ceil(counts * 1.1 / 128.0).astype(np.int64) * 128 + 128)
+        budgets = np.minimum(budgets, state.gauss.capacity)
+        from gaussian_splatting_tpu.ops.tiling import cdiv as _cdiv
+
+        n_tiles = _cdiv(dataset.width, cfg.tile_size) * _cdiv(
+            dataset.height, cfg.tile_size)
+        budgets = np.asarray(fill_budgets_to_pow2(
+            budgets, caps, max_headroom=cfg.class_budget_headroom,
+            overhead=n_tiles * cfg.raster_chunk), np.int64)
         budgets = np.minimum(budgets, state.gauss.capacity)
         slots = int((budgets * caps).sum())
         if slots > cfg.max_sort_entries:

@@ -98,3 +98,38 @@ def test_projection_differentiable():
     # mean x moves pixel x by fx/z.
     gm = np.asarray(g[0])
     np.testing.assert_allclose(gm[0, 0], 100.0 / 5.0, rtol=1e-3)
+
+
+def test_opacity_aware_radius_exact(rng):
+    """Radius shrinks to sqrt(2 ln(255 op)) sigma for low opacities — and the
+    rendered image + gradients are IDENTICAL (support outside can never pass
+    the 1/255 alpha gate)."""
+    import numpy as np
+    from gaussian_splatting_tpu.ops.rasterize_ref import rasterize_reference
+
+    width = height = 64
+    view, K = _center_camera()
+    n = 30
+    means = jnp.asarray(rng.normal(size=(n, 3)) * np.array([1, 1, 0.3]) +
+                        np.array([0, 0, 5.0]), jnp.float32)
+    quats = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    scales = jnp.asarray(rng.uniform(0.2, 0.5, size=(n, 3)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.01, 0.9, size=(n,)), jnp.float32)
+
+    p3 = project_gaussians(means, quats, scales, view, K, width, height)
+    po = project_gaussians(means, quats, scales, view, K, width, height,
+                           opacities=opac)
+    r3 = np.asarray(p3.radii)
+    ro = np.asarray(po.radii)
+    assert (ro <= r3).all()
+    low = np.asarray(opac) < 0.1
+    vis = r3 > 0
+    assert (ro[low & vis] < r3[low & vis]).all(), "low-opacity radii must shrink"
+
+    # Identical render with either radius (the shrunken support is exact).
+    colors = jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32)
+    img3 = rasterize_reference(p3.means2d, p3.conics, colors, opac, p3.depths,
+                               p3.radii, width, height, tile_size=16).image
+    imgo = rasterize_reference(po.means2d, po.conics, colors, opac, po.depths,
+                               po.radii, width, height, tile_size=16).image
+    np.testing.assert_allclose(np.asarray(imgo), np.asarray(img3), atol=1e-7)
