@@ -386,7 +386,7 @@ def _bwd_kernel(starts_ref, counts_ref, pstarts_ref, soa_ref, aux_ref, grad_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
-               grad_cap_mult=8, class_budgets=None):
+               grad_cap_mult=8, class_budgets=None, depth_bits=0):
     P = ts * ts
     T = ntx * nty
     n_slots = total_slots(N, max_t, class_budgets)
@@ -456,6 +456,7 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
         b = isect_and_sort(
             means2d, conics, colors, opacities, depths, radii,
             width, height, ts, chunk, max_t, class_budgets=class_budgets,
+            depth_bits=depth_bits,
         )
         out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
         return (out, b.n_isect, b.n_dropped, b.n_budget_dropped,
@@ -465,6 +466,7 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
         b = isect_and_sort(
             means2d, conics, colors, opacities, depths, radii,
             width, height, ts, chunk, max_t, class_budgets=class_budgets,
+            depth_bits=depth_bits,
         )
         out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
         res = (b.sorted_soa, b.tile_starts, b.counts, b.padded_starts, out)
@@ -502,6 +504,7 @@ def rasterize_tiled(
     chunk=256,
     max_tiles_per_gaussian=16,
     class_budgets=None,
+    depth_bits=0,
     interpret=None,
     with_stats=False,
 ):
@@ -525,7 +528,7 @@ def rasterize_tiled(
 
     core = _make_core(ts, ntx, nty, chunk, N, max_tiles_per_gaussian,
                       width, height, bool(interpret),
-                      class_budgets=class_budgets)
+                      class_budgets=class_budgets, depth_bits=int(depth_bits))
     out, n_isect, n_dropped, n_budget_dropped, n_grad_dropped = core(
         means2d, conics, colors, opacities, depths, radii)
 

@@ -51,6 +51,7 @@ def render(
     max_tiles_per_gaussian: int = 16,
     raster_chunk: int = 256,
     class_budgets=None,
+    depth_bits: int = 0,
     rasterize_mode: str = "classic",
     with_stats: bool = False,
 ) -> RenderOut:
@@ -99,7 +100,8 @@ def render(
             width, height, bg=bg, tile_size=tile_size,
             isect_capacity=isect_capacity, chunk=raster_chunk,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
-            class_budgets=class_budgets, with_stats=with_stats,
+            class_budgets=class_budgets, depth_bits=depth_bits,
+            with_stats=with_stats,
         )
         if with_stats:
             image, alpha_img, depth_img, stats = res

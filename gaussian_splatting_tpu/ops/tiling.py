@@ -80,9 +80,16 @@ def padded_capacity_for(n_slots: int, num_tiles: int, chunk: int) -> int:
 
 
 def class_caps(max_t: int) -> Tuple[int, ...]:
-    """Power-of-two footprint classes (1, 2, 4, ..., max_t)."""
+    """Footprint class caps 1,2,3,4,6,8,12,16,24,32,... up to max_t.
+    Finer-than-pow2 steps keep slot inflation (cap/actual tiles) near 1.1x
+    instead of 1.35x — the sort length is the pipeline's dominant cost."""
     assert max_t >= 1 and (max_t & (max_t - 1)) == 0, "max_t must be a power of 2"
-    return tuple(1 << c for c in range(max_t.bit_length()))
+    caps = [c for c in (1, 2, 3, 4, 6) if c <= max_t]
+    c = caps[-1]
+    while c < max_t:
+        c = c * 4 // 3 if c % 3 == 0 else c * 3 // 2
+        caps.append(c)
+    return tuple(caps)
 
 
 def fill_budgets_to_pow2(min_budgets, caps, max_headroom: float = 2.5,
@@ -97,8 +104,12 @@ def fill_budgets_to_pow2(min_budgets, caps, max_headroom: float = 2.5,
     s_min = sum(int(b) * int(c) for b, c in zip(min_budgets, caps))
     if s_min <= 0:
         return tuple(int(b) for b in min_budgets)
-    p2 = 1 << (s_min + overhead - 1).bit_length()
-    target = p2 - overhead
+    # Fill up to the tightest boundary the MINIMAL config already pays for —
+    # never across one (that would double a sort): the binning sort pays
+    # next_pow2(slots), the grad sort next_pow2(slots + overhead).
+    p2_bin = 1 << (s_min - 1).bit_length()
+    p2_grad = 1 << (s_min + overhead - 1).bit_length()
+    target = min(p2_bin, p2_grad - overhead)
     f = max(1.0, min(max_headroom, 0.98 * target / s_min))
     out = []
     for b in min_budgets:
@@ -177,6 +188,7 @@ def isect_and_sort(
     chunk: int,
     max_tiles_per_gaussian: int = 16,
     class_budgets: Optional[Tuple[int, ...]] = None,
+    depth_bits: int = 0,
 ) -> TileBinning:
     """Bin + depth-sort N screen-space gaussians, carrying their render
     quantities through the sort. Returns the kernel-ready SoA and segment
@@ -186,6 +198,12 @@ def isect_and_sort(
     ``class_budgets=None`` selects the dense N*MAX_T slot layout; a tuple of
     per-class gaussian budgets (ascending caps 1, 2, 4, ..., MAX_T) selects
     the compact layout whose sort size is ``total_slots(...)``.
+
+    ``depth_bits > 0`` packs (tile_id << depth_bits | quantized_depth) into
+    ONE int32 sort key instead of the exact two-key lexicographic compare —
+    only the blend ORDER of nearly-equal depths quantizes (the kernels still
+    see exact depths); the classic CUDA pipelines quantize depth into their
+    radix keys the same way. 13-bit tile ids + 16-bit depth fit int32.
     """
     N = means2d.shape[0]
     assert N < (1 << 24), "gaussian ids must be exact in f32"
@@ -302,15 +320,27 @@ def isect_and_sort(
         quantity_cols = tuple(jnp.concatenate(p) for p in q_parts)
 
     M = tile_key.shape[0]
-    operands = (tile_key,) + quantity_cols
-    sorted_ops = jax.lax.sort(operands, num_keys=2)  # (tile, depth) keys
-    sorted_tile = sorted_ops[0]
+    if depth_bits:
+        assert (T + 1) < (1 << (31 - depth_bits)), \
+            "tile grid too large for the combined sort key"
+        levels = (1 << depth_bits) - 1
+        depth_col = quantity_cols[0]
+        real = tile_key < T
+        inf = jnp.float32(jnp.inf)
+        dmin = jnp.min(jnp.where(real, depth_col, inf))
+        dmax = jnp.max(jnp.where(real, depth_col, -inf))
+        scale = levels / jnp.maximum(dmax - dmin, 1e-20)
+        qd = jnp.clip((depth_col - dmin) * scale, 0, levels).astype(jnp.int32)
+        key = tile_key * (1 << depth_bits) + jnp.where(real, qd, 0)
+        sorted_ops = jax.lax.sort((key,) + quantity_cols, num_keys=1)
+        query = jnp.arange(T + 1, dtype=jnp.int32) * (1 << depth_bits)
+    else:
+        sorted_ops = jax.lax.sort((tile_key,) + quantity_cols, num_keys=2)
+        query = jnp.arange(T + 1, dtype=jnp.int32)
     s_depth = sorted_ops[1]
     (s_mx, s_my, s_ca, s_cb, s_cc, s_op, s_r, s_g, s_b, s_gid) = sorted_ops[2:]
 
-    tile_starts = jnp.searchsorted(
-        sorted_tile, jnp.arange(T + 1, dtype=jnp.int32)
-    ).astype(jnp.int32)
+    tile_starts = jnp.searchsorted(sorted_ops[0], query).astype(jnp.int32)
     counts = tile_starts[1:] - tile_starts[:-1]
     chunks_per_tile = cdiv(counts, chunk)
     padded_starts = (

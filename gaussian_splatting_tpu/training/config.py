@@ -75,6 +75,9 @@ class TrainingConfig:
     # histogram and sets budgets with `class_budget_headroom` slack; overflow
     # is counted every step (stats/n_budget_dropped) and rebudgeted.
     binning: str = "auto"              # auto | compact | dense
+    # >0 packs (tile << bits | quantized depth) into ONE int32 sort key
+    # (cheaper compare; blend order of nearly-equal depths quantizes).
+    sort_depth_bits: int = 0
     class_budgets: Optional[tuple] = None
     class_budget_headroom: float = 2.0
     backend: str = "auto"              # auto | pallas | ref

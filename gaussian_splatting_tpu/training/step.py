@@ -84,6 +84,7 @@ def make_train_step(
                     max_tiles_per_gaussian=config.max_tiles_per_gaussian,
                     raster_chunk=config.raster_chunk,
                     class_budgets=config.class_budgets,
+                    depth_bits=config.sort_depth_bits,
                     with_stats=want_stats,
                 )
                 radii_max = jnp.maximum(radii_max, jax.lax.stop_gradient(out.radii))

@@ -155,8 +155,9 @@ def test_compact_binning_matches_dense(rng):
     gradients, when every class has enough budget."""
     width, height = 64, 48
     args = _screen_gaussians(rng, 80, width, height)
+    from gaussian_splatting_tpu.ops.tiling import class_caps
     n = 80
-    budgets = tuple(n for _ in range((32).bit_length()))  # caps 1..32
+    budgets = tuple(n for _ in class_caps(32))
 
     def f(mode_budgets, m, c, col, o, d):
         return rasterize_tiled(
@@ -189,8 +190,9 @@ def test_compact_budget_overflow_counted(rng):
     in n_budget_dropped and the render must stay finite."""
     width, height = 64, 48
     m, c, col, o, d, radii = _screen_gaussians(rng, 60, width, height)
+    from gaussian_splatting_tpu.ops.tiling import class_caps
     # Starve every class: budget 4 gaussians per class.
-    budgets = tuple(4 for _ in range((16).bit_length()))
+    budgets = tuple(4 for _ in class_caps(16))
     img, alpha, depth, stats = rasterize_tiled(
         m, c, col, o, d, radii, width, height, tile_size=16, chunk=128,
         max_tiles_per_gaussian=16, class_budgets=budgets,
@@ -218,6 +220,31 @@ def test_tile_cap_overflow_counted(rng):
     assert int(stats["n_dropped"]) > 0
     assert set(stats) == {"n_isect", "n_dropped", "n_budget_dropped",
                           "n_grad_dropped"}
+
+
+def test_quantized_depth_key(rng):
+    """depth_bits packs (tile << bits | qdepth) into one int32 key. With
+    well-separated depths the quantization can't reorder anything, so the
+    render is bit-identical to the exact two-key sort; random depths stay
+    visually equal."""
+    width, height = 64, 48
+    m, c, col, o, d, radii = _screen_gaussians(rng, 60, width, height)
+    # Depths on a coarse grid: gaps >> range/2^16 -> identical order.
+    d_sep = jnp.asarray((np.arange(60) % 16) * 0.5 + 1.0, jnp.float32)
+
+    def f(depths, bits):
+        return rasterize_tiled(m, c, col, o, depths, radii, width, height,
+                               tile_size=16, chunk=128, depth_bits=bits,
+                               interpret=True)
+
+    img_e, alpha_e, _ = f(d_sep, 0)
+    img_q, alpha_q, _ = f(d_sep, 16)
+    np.testing.assert_array_equal(np.asarray(img_q), np.asarray(img_e))
+    np.testing.assert_array_equal(np.asarray(alpha_q), np.asarray(alpha_e))
+
+    img_e, *_ = f(d, 0)
+    img_q, *_ = f(d, 16)
+    np.testing.assert_allclose(np.asarray(img_q), np.asarray(img_e), atol=2e-3)
 
 
 def test_opacity_cull_is_exact(rng):
