@@ -76,8 +76,18 @@ def densify_and_prune(
     max_gaussians: int,
     clone_extent_ratio: float = 0.1,
     prune_extent_ratio: float = 2.0,
+    topk_fraction: float = 0.0,
 ) -> Tuple[GaussianState, tuple, DensifyStats]:
-    """One clone/split/prune sweep. Fully jittable; shapes never change."""
+    """One clone/split/prune sweep. Fully jittable; shapes never change.
+
+    ``topk_fraction > 0`` replaces the absolute gradient threshold with a
+    rank threshold: the top ``topk_fraction`` of alive gaussians by
+    accumulated grad norm are densified each event. The reference's fixed
+    5e-4 threshold (``training_config.py:28``) is calibrated to one
+    scene/resolution gradient scale; on scenes where mean ||grad_xyz|| is
+    ~2e-5 it selects nobody and densification silently dies (measured:
+    20k->6k gaussians over 3.5k iters, 0 splits). The rank form is
+    scale-free and costs one (C,)-sort per event."""
     p = state.params
     C = state.capacity
     alive = state.alive
@@ -88,7 +98,17 @@ def densify_and_prune(
     max_scale = jnp.max(scales, axis=-1)
     op = opacity_activation(p.logit_opacities)[:, 0]
 
-    hot = alive & (grad_norm >= grads_threshold) & (op > min_opacity)
+    if topk_fraction > 0.0:
+        n_alive0 = jnp.sum(alive.astype(jnp.int32))
+        k = jnp.maximum((topk_fraction * n_alive0).astype(jnp.int32), 1)
+        desc = jnp.sort(jnp.where(alive, grad_norm, -jnp.inf))[::-1]
+        rank_thresh = desc[jnp.minimum(k, C - 1)]
+        # Strict > : selects exactly the top k (ties beyond k drop out).
+        # Never densify zero-gradient (invisible) gaussians.
+        sel = grad_norm > jnp.maximum(rank_thresh, 1e-12)
+    else:
+        sel = grad_norm >= grads_threshold
+    hot = alive & sel & (op > min_opacity)
     clone_mask = hot & (max_scale <= extent * clone_extent_ratio)
     split_mask = hot & (max_scale > extent * clone_extent_ratio)
 

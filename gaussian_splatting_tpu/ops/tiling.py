@@ -165,14 +165,57 @@ def _tile_rects(means2d, opacities, radii, width, height, ts, max_t):
     return ntx, nty, tx0, ty0, nx, n_tiles, n_capped
 
 
-def _slot_tiles(tx0, ty0, nx, n_capped, s, ntx, sentinel):
+def _slot_tiles(tx0, ty0, nx, n_capped, s, ntx, sentinel, ellipse=None,
+                ts=None):
     """Tile id of slot ``s`` (row-major over the clipped bbox) per gaussian.
-    tx0/ty0/nx/n_capped: (G, 1) columns; s: (1, S) slot iota."""
+    tx0/ty0/nx/n_capped: (G, 1) columns; s: (1, S) slot iota.
+
+    ``ellipse=(mx, my, ca, cb, cc, op)`` (each (G, 1)) enables the exact
+    conservative ellipse-tile cull: a slot whose tile rect provably cannot
+    reach the kernels' 1/255 contribution gate is sentineled out. With
+    alpha(p) = op*exp(-q(p)/2), q(p) = d^T conic d, the EXACT minimum of the
+    convex quadratic q over the tile's pixel rect is closed-form: 0 if the
+    mean lies inside, else the min over the 4 edges (each a 1-D quadratic
+    with a clamped stationary point). ``q_min/2 > ln(255*op)`` then
+    guarantees every pixel in the tile is below the gate the kernels (and
+    the oracle) already apply — culling is bit-exact. gsplat's CUDA binning
+    keeps the full bbox (reference call site gsplat_backend.py:83-97), which
+    for thin anisotropic splats wastes most of its intersections on tiles
+    the ellipse never touches."""
     nx_safe = jnp.maximum(nx, 1)
     dy = s // nx_safe
     dx = s - dy * nx_safe
     tid = (ty0 + dy) * ntx + (tx0 + dx)
-    return jnp.where(s < n_capped, tid, sentinel)
+    keep = s < n_capped
+    if ellipse is not None:
+        mx, my, ca, cb, cc, op = ellipse
+        fts = jnp.float32(ts)
+        # Tile pixel rect [xl, xl+ts] x [yl, yl+ts] as mean-relative
+        # intervals (covers every pixel-center convention).
+        dxl = (tx0 + dx).astype(jnp.float32) * fts - mx
+        dxh = dxl + fts
+        dyl = (ty0 + dy).astype(jnp.float32) * fts - my
+        dyh = dyl + fts
+        ca_s = jnp.maximum(ca, 1e-12)
+        cc_s = jnp.maximum(cc, 1e-12)
+
+        def q(qx, qy):
+            return ca * qx * qx + 2.0 * cb * qx * qy + cc * qy * qy
+
+        def edge_x(qx):   # dx fixed at an x-edge; optimal dy clamped to rect
+            return q(qx, jnp.clip(-cb * qx / cc_s, dyl, dyh))
+
+        def edge_y(qy):
+            return q(jnp.clip(-cb * qy / ca_s, dxl, dxh), qy)
+
+        q_min = jnp.minimum(jnp.minimum(edge_x(dxl), edge_x(dxh)),
+                            jnp.minimum(edge_y(dyl), edge_y(dyh)))
+        inside = (dxl <= 0) & (dxh >= 0) & (dyl <= 0) & (dyh >= 0)
+        q_min = jnp.where(inside, 0.0, q_min)
+        # 1e-3 slack >> f32 rounding in the kernels' sigma evaluation.
+        cull = 0.5 * q_min > jnp.log(255.0 * jnp.maximum(op, 1e-12)) + 1e-3
+        keep = keep & ~cull
+    return jnp.where(keep, tid, sentinel)
 
 
 def isect_and_sort(
@@ -212,16 +255,17 @@ def isect_and_sort(
     ntx, nty, tx0, ty0, nx, n_tiles, n_capped = _tile_rects(
         means2d, opacities, radii, width, height, ts, max_t)
     T = ntx * nty
-    n_isect_all = jnp.sum(n_capped)
     n_dropped = jnp.sum(n_tiles - n_capped)
     gauss_f32 = jnp.arange(N, dtype=jnp.float32)
 
     if class_budgets is None:
         # Dense slot enumeration (N, MAX_T); sentinel tile T for unused slots.
         s = jnp.arange(max_t, dtype=jnp.int32)[None, :]
+        ell = (means2d[:, 0:1], means2d[:, 1:2], conics[:, 0:1],
+               conics[:, 1:2], conics[:, 2:3], opacities[:, None])
         tile_key = _slot_tiles(
             tx0[:, None], ty0[:, None], nx[:, None], n_capped[:, None],
-            s, ntx, T).reshape(-1)
+            s, ntx, T, ellipse=ell, ts=ts).reshape(-1)
 
         def expand(q):
             return jnp.broadcast_to(q[:, None], (N, max_t)).reshape(-1)
@@ -234,7 +278,7 @@ def isect_and_sort(
             expand(colors[:, 0]), expand(colors[:, 1]), expand(colors[:, 2]),
             expand(gauss_f32),
         )
-        n_isect = n_isect_all
+        n_isect = jnp.sum((tile_key < T).astype(jnp.int32))
         n_budget_dropped = jnp.zeros((), jnp.int32)
     else:
         caps = class_caps(max_t)
@@ -280,8 +324,10 @@ def isect_and_sort(
             budget_of = jnp.where(cls_s == c, budgets[c], budget_of)
         rank_in_class = jnp.arange(N, dtype=jnp.int32) - starts_of
         over = (rank_in_class >= budget_of) & (cls_s < L)
+        # Overflow is counted in (conservative) bbox tiles — over-budget
+        # gaussians are never expanded, so their ellipse-culled count is
+        # unknown; alarming high beats alarming late.
         n_budget_dropped = jnp.sum(jnp.where(over, ncap_s, 0))
-        n_isect = n_isect_all - n_budget_dropped
 
         # Pad so the per-class dynamic slices below never clamp (start <= N,
         # size <= max budget); padded rows carry n_capped = 0.
@@ -308,9 +354,11 @@ def isect_and_sort(
 
             s = jnp.arange(cap_c, dtype=jnp.int32)[None, :]
             ncap_c = jnp.where(in_class, sl(ncap_p), 0)
+            # quantities_p order: depth, mx, my, ca, cb, cc, op, r, g, b, gid
+            ell = tuple(sl(quantities_p[qi])[:, None] for qi in (1, 2, 3, 4, 5, 6))
             tid = _slot_tiles(
                 sl(tx0_p)[:, None], sl(ty0_p)[:, None], sl(nx_p)[:, None],
-                ncap_c[:, None], s, ntx, T)
+                ncap_c[:, None], s, ntx, T, ellipse=ell, ts=ts)
             key_parts.append(tid.reshape(-1))
             for qi in range(11):
                 q_parts[qi].append(
@@ -318,6 +366,7 @@ def isect_and_sort(
                                      (NC, cap_c)).reshape(-1))
         tile_key = jnp.concatenate(key_parts)
         quantity_cols = tuple(jnp.concatenate(p) for p in q_parts)
+        n_isect = jnp.sum((tile_key < T).astype(jnp.int32))
 
     M = tile_key.shape[0]
     if depth_bits:

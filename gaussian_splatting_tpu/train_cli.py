@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache-dir", default=None)
     p.add_argument("--use-sfm-cache", action="store_true",
                    help="reuse cached SfM results (reference forces re-run)")
+    p.add_argument("--densify-topk", type=float, default=None,
+                   help="densify the top FRACTION of gaussians by grad rank "
+                        "each event (scale-free alternative to the absolute "
+                        "grad threshold)")
     p.add_argument("--resume", default=None, help="checkpoint .npz to resume from")
     p.add_argument("--mesh-data", type=int, default=None)
     p.add_argument("--mesh-model", type=int, default=None)
@@ -58,6 +62,7 @@ def config_from_args(args):
         "image_scale": "image_scale", "sh_degree": "sh_degree_max",
         "backend": "backend", "tile_size": "tile_size", "cache_dir": "cache_dir",
         "mesh_data": "mesh_data", "mesh_model": "mesh_tile",
+        "densify_topk": "densify_topk_fraction",
         "wandb_mode": "wandb_mode", "wandb_project": "wandb_project",
         "wandb_run_name": "wandb_run_name",
     }

@@ -27,6 +27,11 @@ class TrainingConfig:
 
     # --- densify thresholds (reference :28-44) ---
     densify_grads_threshold: float = 5e-4
+    # > 0: replace the absolute threshold with a rank threshold — densify
+    # the top fraction of alive gaussians by accumulated grad norm each
+    # event. Scale-free where the reference's 5e-4 is calibrated to one
+    # scene's gradient magnitude (see models/densify.py).
+    densify_topk_fraction: float = 0.0
     densify_min_opacity: float = 0.005
     densify_clone_extent_ratio: float = 0.1
     densify_prune_extent_ratio: float = 2.0

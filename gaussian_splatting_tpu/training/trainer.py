@@ -118,6 +118,7 @@ class GaussianTrainer:
                 max_gaussians=int(cfg.max_gaussians),
                 clone_extent_ratio=cfg.densify_clone_extent_ratio,
                 prune_extent_ratio=cfg.densify_prune_extent_ratio,
+                topk_fraction=cfg.densify_topk_fraction,
             )
             return new_gauss, (mu, nu), stats
 

@@ -34,26 +34,58 @@ def _screen_gaussians(rng, n, width, height, radius_scale=1.0, opacity_range=(0.
     )
 
 
+def _brute_force_counts(means2d, conics, opac, radii, width, height, ts,
+                        with_ellipse_cull=True):
+    """Numpy mirror of the binning: clipped radius bbox, minus tiles the
+    conservative ellipse cull proves below the 1/255 alpha gate."""
+    ntx, nty = -(-width // ts), -(-height // ts)
+    m = np.asarray(means2d, np.float64)
+    c = np.asarray(conics, np.float64)
+    o = np.asarray(opac, np.float64)
+    r = np.asarray(radii).astype(float)
+    counts = np.zeros((nty * ntx,), np.int64)
+    for i in range(m.shape[0]):
+        if r[i] <= 0 or o[i] < 1.0 / 255.0:
+            continue
+        tx0 = int(np.clip(np.floor((m[i, 0] - r[i]) / ts), 0, ntx))
+        tx1 = int(np.clip(np.ceil((m[i, 0] + r[i]) / ts), 0, ntx))
+        ty0 = int(np.clip(np.floor((m[i, 1] - r[i]) / ts), 0, nty))
+        ty1 = int(np.clip(np.ceil((m[i, 1] + r[i]) / ts), 0, nty))
+        ca, cb, cc = c[i]
+        q = lambda x, y: ca * x * x + 2 * cb * x * y + cc * y * y
+        for ty in range(ty0, ty1):
+            for tx in range(tx0, tx1):
+                if with_ellipse_cull:
+                    dxl, dyl = tx * ts - m[i, 0], ty * ts - m[i, 1]
+                    dxh, dyh = dxl + ts, dyl + ts
+                    if dxl <= 0 <= dxh and dyl <= 0 <= dyh:
+                        qmin = 0.0
+                    else:
+                        qmin = min(
+                            q(dxl, np.clip(-cb * dxl / cc, dyl, dyh)),
+                            q(dxh, np.clip(-cb * dxh / cc, dyl, dyh)),
+                            q(np.clip(-cb * dyl / ca, dxl, dxh), dyl),
+                            q(np.clip(-cb * dyh / ca, dxl, dxh), dyh))
+                    if 0.5 * qmin > np.log(255.0 * max(o[i], 1e-12)) + 1e-3:
+                        continue
+                counts[ty * ntx + tx] += 1
+    return counts
+
+
 def test_isect_tiles_counts(rng):
-    """Binning bookkeeping: segment counts match a brute-force bbox check."""
+    """Binning bookkeeping: segment counts match a brute-force check
+    (radius bbox minus the exact conservative ellipse-tile cull)."""
     width, height, ts = 64, 48, 16
     args = _screen_gaussians(rng, 50, width, height)
     means2d, conics, colors, opac, depths, radii = args
     out = isect_and_sort(means2d, conics, colors, opac, depths, radii,
                         width, height, ts, chunk=128, max_tiles_per_gaussian=32)
     ntx, nty = 4, 3
-    m = np.asarray(means2d); r = np.asarray(radii).astype(float)
-    expected = np.zeros((nty * ntx,), np.int64)
-    for i in range(50):
-        if r[i] <= 0:
-            continue
-        tx0 = int(np.clip(np.floor((m[i, 0] - r[i]) / ts), 0, ntx))
-        tx1 = int(np.clip(np.ceil((m[i, 0] + r[i]) / ts), 0, ntx))
-        ty0 = int(np.clip(np.floor((m[i, 1] - r[i]) / ts), 0, nty))
-        ty1 = int(np.clip(np.ceil((m[i, 1] + r[i]) / ts), 0, nty))
-        for ty in range(ty0, ty1):
-            for tx in range(tx0, tx1):
-                expected[ty * ntx + tx] += 1
+    expected = _brute_force_counts(means2d, conics, opac, radii,
+                                   width, height, ts)
+    bbox = _brute_force_counts(means2d, conics, opac, radii,
+                               width, height, ts, with_ellipse_cull=False)
+    assert expected.sum() < bbox.sum()  # the cull actually removes tiles here
     np.testing.assert_array_equal(np.asarray(out.counts), expected)
     assert int(out.n_dropped) == 0
     assert int(out.n_isect) == expected.sum()
@@ -279,6 +311,62 @@ def test_opacity_cull_is_exact(rng):
                                    err_msg=f"grad mismatch: {name}")
     # Culled gaussians get exactly zero opacity gradient.
     assert np.all(np.asarray(g_pal[1])[::3] == 0.0)
+
+
+def test_ellipse_cull_exact(rng):
+    """The conservative ellipse-tile cull removes a large fraction of bbox
+    tiles for anisotropic gaussians yet leaves pixels AND gradients equal to
+    the (cull-free, per-pixel) oracle — the cull only drops tiles whose every
+    pixel sits below the 1/255 alpha gate both renderers already apply."""
+    width, height = 96, 64
+    n = 40
+    # Long thin gaussians at random orientations: circular radius bboxes
+    # cover many tiles the ellipse never touches.
+    means2d = jnp.asarray(rng.uniform([0, 0], [width, height], (n, 2)), jnp.float32)
+    theta = rng.uniform(0, np.pi, n)
+    s_long, s_short = rng.uniform(12, 25, n), rng.uniform(1.0, 2.5, n)
+    R = np.stack([np.stack([np.cos(theta), -np.sin(theta)], -1),
+                  np.stack([np.sin(theta), np.cos(theta)], -1)], -2)
+    cov = R @ (np.stack([s_long, s_short], -1)[..., None]**2
+               * np.eye(2)) @ np.swapaxes(R, 1, 2)
+    inv = np.linalg.inv(cov)
+    conics = jnp.asarray(
+        np.stack([inv[:, 0, 0], inv[:, 0, 1], inv[:, 1, 1]], 1), jnp.float32)
+    colors = jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.2, 0.9, n), jnp.float32)
+    depths = jnp.asarray(rng.uniform(1, 10, n), jnp.float32)
+    radii = jnp.asarray(np.ceil(3 * s_long), jnp.int32)
+
+    counts = _brute_force_counts(means2d, conics, opac, radii, width, height, 16)
+    bbox = _brute_force_counts(means2d, conics, opac, radii, width, height, 16,
+                               with_ellipse_cull=False)
+    assert counts.sum() < 0.75 * bbox.sum()  # the cull is doing real work
+
+    args = (means2d, conics, colors, opac, depths)
+    timg = jnp.asarray(rng.uniform(size=(height, width, 3)), jnp.float32)
+
+    def loss(fn, *a):
+        img, alpha, _ = fn(*a)
+        return jnp.sum((img - timg) ** 2) + 0.1 * jnp.sum(alpha**2)
+
+    def f_ref(*a):
+        out = rasterize_reference(*a, radii, width, height, tile_size=16)
+        return out.image, out.alpha, out.depth
+
+    def f_pal(*a):
+        return rasterize_tiled(*a, radii, width, height, tile_size=16,
+                               chunk=128, max_tiles_per_gaussian=64,
+                               interpret=True)
+
+    np.testing.assert_allclose(float(loss(f_pal, *args)),
+                               float(loss(f_ref, *args)), rtol=1e-5)
+    g_ref = jax.grad(lambda *x: loss(f_ref, *x), argnums=(0, 1, 3))(*args)
+    g_pal = jax.grad(lambda *x: loss(f_pal, *x), argnums=(0, 1, 3))(*args)
+    for name, gr, gp in zip(["means2d", "conics", "opacities"], g_ref, g_pal):
+        gr, gp = np.asarray(gr), np.asarray(gp)
+        scale = np.abs(gr).max() + 1e-8
+        np.testing.assert_allclose(gp, gr, atol=2e-4 * scale, rtol=1e-3,
+                                   err_msg=f"grad mismatch: {name}")
 
 
 def test_full_render_pallas_vs_ref_3d(rng):

@@ -207,6 +207,40 @@ def test_densify_population_cap():
     assert int(stats.n_cloned) == 2
 
 
+def test_densify_topk_fraction():
+    """Rank-threshold densify selects the top fraction by grad norm
+    regardless of absolute gradient scale (the 5e-4 absolute threshold
+    would select nobody at this ~1e-5 scale)."""
+    state, n = _densify_state()
+    # Tiny, distinct gradient norms: slots 0..7 get (i+1) * 2e-6.
+    accum = state.xyz_grad_accum.at[:n].set(
+        jnp.arange(1, n + 1, dtype=jnp.float32)[:, None] * 2e-6)
+    state = dataclasses.replace(
+        state, xyz_grad_accum=accum, xyz_grad_count=state.xyz_grad_count + 1.0)
+    moments = (jax.tree_util.tree_map(jnp.zeros_like, state.params),
+               jax.tree_util.tree_map(jnp.zeros_like, state.params))
+
+    # Absolute threshold: dead.
+    _, _, s_abs = densify_and_prune(
+        state, moments, jax.random.PRNGKey(0),
+        grads_threshold=5e-4, min_opacity=0.005, extent=jnp.float32(1.0),
+        max_gaussians=1000)
+    assert int(s_abs.n_cloned) + int(s_abs.n_split) == 0
+
+    # Top-25% rank threshold: exactly 2 of the 8 alive densify, and they
+    # are the two highest-gradient slots (6, 7 -> clones; scales small).
+    new_state, _, s_topk = densify_and_prune(
+        state, moments, jax.random.PRNGKey(0),
+        grads_threshold=5e-4, min_opacity=0.005, extent=jnp.float32(1.0),
+        max_gaussians=1000, topk_fraction=0.25)
+    assert int(s_topk.n_cloned) + int(s_topk.n_split) == 2
+    new_means = np.asarray(new_state.params.means)
+    np.testing.assert_allclose(new_means[n], np.asarray(state.params.means)[6],
+                               atol=1e-6)
+    np.testing.assert_allclose(new_means[n + 1],
+                               np.asarray(state.params.means)[7], atol=1e-6)
+
+
 def test_reset_opacity_and_clamp():
     state, n = _densify_state()
     p = reset_opacity(state.params)
