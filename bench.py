@@ -81,7 +81,9 @@ def main():
         class_caps, exact_tile_counts, fill_budgets_to_pow2, total_slots)
 
     caps = np.asarray(class_caps(max_t))
-    nt = np.minimum(exact_tile_counts(means2d, radii, width, height, 16), max_t)
+    nt = np.minimum(exact_tile_counts(
+        means2d, radii, width, height, 16,
+        conics=np.asarray(conics), opacities=np.asarray(opac)), max_t)
     cls = np.searchsorted(caps, np.clip(nt, 1, max_t))
     hist = np.bincount(cls[nt > 0], minlength=len(caps))[:len(caps)]
     budgets = tuple(int(np.ceil(h * 1.05 / 128) * 128 + 128) for h in hist)

@@ -130,91 +130,172 @@ def total_slots(n: int, max_t: int,
     return int(sum(b * c for b, c in zip(class_budgets, caps)))
 
 
-def exact_tile_counts(means2d, radii, width, height, ts):
-    """Host-side (numpy) clipped tile-rect counts — the exact per-gaussian
-    footprint ``_tile_rects`` produces, for budget/cap measurement."""
+def exact_tile_counts(means2d, radii, width, height, ts,
+                      conics=None, opacities=None):
+    """Host-side (numpy) per-gaussian slot counts — the exact footprint
+    ``_tile_rects`` produces, for budget/cap measurement. With conics +
+    opacities this mirrors the sheared-window count (ny * wt); without, the
+    legacy radius-bbox count."""
     import numpy as np
 
     m = np.asarray(means2d, np.float64)
     r = np.asarray(radii, np.float64)
     ntx = cdiv(width, ts)
     nty = cdiv(height, ts)
-    tx0 = np.clip(np.floor((m[:, 0] - r) / ts), 0, ntx)
-    tx1 = np.clip(np.ceil((m[:, 0] + r) / ts), 0, ntx)
-    ty0 = np.clip(np.floor((m[:, 1] - r) / ts), 0, nty)
-    ty1 = np.clip(np.ceil((m[:, 1] + r) / ts), 0, nty)
-    nt = np.maximum(tx1 - tx0, 0) * np.maximum(ty1 - ty0, 0)
-    return np.where(r > 0, nt, 0).astype(np.int64)
+    if conics is None:
+        tx0 = np.clip(np.floor((m[:, 0] - r) / ts), 0, ntx)
+        tx1 = np.clip(np.ceil((m[:, 0] + r) / ts), 0, ntx)
+        ty0 = np.clip(np.floor((m[:, 1] - r) / ts), 0, nty)
+        ty1 = np.clip(np.ceil((m[:, 1] + r) / ts), 0, nty)
+        nt = np.maximum(tx1 - tx0, 0) * np.maximum(ty1 - ty0, 0)
+        return np.where(r > 0, nt, 0).astype(np.int64)
+    c = np.asarray(conics, np.float64)
+    op = np.asarray(opacities, np.float64)
+    ca, cb, cc = c[:, 0], c[:, 1], c[:, 2]
+    ca_s = np.maximum(ca, 1e-12)
+    det_s = np.maximum(ca * cc - cb * cb, 1e-20)
+    Q = 2.0 * (np.log(255.0 * np.maximum(op, 1e-12)) + 1e-3)
+    xe = np.minimum(r, np.sqrt(np.maximum(Q, 0) * np.maximum(cc, 1e-12) / det_s)
+                    + _WINDOW_EPS)
+    ye = np.minimum(r, np.sqrt(np.maximum(Q, 0) * ca_s / det_s) + _WINDOW_EPS)
+    tx0 = np.clip(np.floor((m[:, 0] - xe) / ts), 0, ntx)
+    tx1 = np.clip(np.ceil((m[:, 0] + xe) / ts), 0, ntx)
+    ty0 = np.clip(np.floor((m[:, 1] - ye) / ts), 0, nty)
+    ty1 = np.clip(np.ceil((m[:, 1] + ye) / ts), 0, nty)
+    nx = np.maximum(tx1 - tx0, 0)
+    ny = np.maximum(ty1 - ty0, 0)
+    w_px = (np.abs(cb) * ts + 2.0 * np.sqrt(np.maximum(Q, 0) * ca_s)) / ca_s \
+        + 2.0 * _WINDOW_EPS
+    wt = np.minimum(np.ceil(w_px / ts) + 1, nx)
+    nt = ny * wt
+    return np.where((r > 0) & (op >= OPACITY_CULL), nt, 0).astype(np.int64)
 
 
-def _tile_rects(means2d, opacities, radii, width, height, ts, max_t):
-    """Clipped tile-bbox geometry shared by both expansion modes."""
+# Half-pixel slack (px) on sheared-window bounds: dwarfs f32 rounding
+# differences between the window formulas and the per-tile cull test, so a
+# tile the cull keeps is always inside the enumeration window.
+_WINDOW_EPS = 0.5
+
+
+def _gate_q(opacities):
+    """Contribution-gate Mahalanobis threshold: alpha = op*exp(-q/2) crosses
+    1/255 at q = 2*ln(255*op) (+ the cull's f32 slack). Clamped at 0:
+    sub-gate opacities are removed by OPACITY_CULL before this matters, and
+    a negative Q would NaN the sqrt-based window extents."""
+    return jnp.maximum(
+        2.0 * (jnp.log(255.0 * jnp.maximum(opacities, 1e-12)) + 1e-3), 0.0)
+
+
+def _tile_rects(means2d, conics, opacities, radii, width, height, ts, max_t):
+    """Sheared-window tile geometry per gaussian.
+
+    Instead of the radius bbox (nx*ny tiles, most of which a thin ellipse
+    never touches), each gaussian enumerates ny rows of a constant-width
+    window that follows the ellipse axis. Width bound: per tile row of
+    height ts, kept tiles span at most drift + max chord =
+    ``|cb|*ts/ca + 2*sqrt(Q/ca)`` pixels (center(dy) = -cb*dy/ca moves
+    |cb|/ca px per dy; the chord at fixed dy is 2*sqrt(ca*Q - det*dy^2)/ca
+    <= 2*sqrt(Q/ca)). Rows/columns come from the exact gate-ellipse AABB
+    (x extent sqrt(Q*cc/det), y extent sqrt(Q*ca/det)) intersected with the
+    radius bbox, so behavior is a strict subset of the old bbox enumeration.
+    Returns (ntx, nty, tx0, ty0, nx, wt, n_tiles, n_capped)."""
     ntx = cdiv(width, ts)
     nty = cdiv(height, ts)
     valid = (radii > 0) & (opacities >= OPACITY_CULL)
     r = radii.astype(jnp.float32)
     mx, my = means2d[:, 0], means2d[:, 1]
-    tx0 = jnp.clip(jnp.floor((mx - r) / ts), 0, ntx).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.ceil((mx + r) / ts), 0, ntx).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((my - r) / ts), 0, nty).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.ceil((my + r) / ts), 0, nty).astype(jnp.int32)
+    ca, cb, cc = conics[:, 0], conics[:, 1], conics[:, 2]
+    ca_s = jnp.maximum(ca, 1e-12)
+    det_s = jnp.maximum(ca * cc - cb * cb, 1e-20)
+    Q = _gate_q(opacities)
+    xe = jnp.minimum(r, jnp.sqrt(Q * jnp.maximum(cc, 1e-12) / det_s) + _WINDOW_EPS)
+    ye = jnp.minimum(r, jnp.sqrt(Q * ca_s / det_s) + _WINDOW_EPS)
+    tx0 = jnp.clip(jnp.floor((mx - xe) / ts), 0, ntx).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.ceil((mx + xe) / ts), 0, ntx).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((my - ye) / ts), 0, nty).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.ceil((my + ye) / ts), 0, nty).astype(jnp.int32)
     nx = jnp.where(valid, jnp.maximum(tx1 - tx0, 0), 0)
     ny = jnp.where(valid, jnp.maximum(ty1 - ty0, 0), 0)
-    n_tiles = nx * ny
+    w_px = (jnp.abs(cb) * ts + 2.0 * jnp.sqrt(Q * ca_s)) / ca_s + 2.0 * _WINDOW_EPS
+    # min in float BEFORE the int cast: w_px can overflow int32 for
+    # degenerate near-singular conics.
+    wt = jnp.minimum(jnp.ceil(w_px / ts) + 1.0,
+                     nx.astype(jnp.float32)).astype(jnp.int32)
+    n_tiles = ny * wt
     n_capped = jnp.minimum(n_tiles, max_t)
-    return ntx, nty, tx0, ty0, nx, n_tiles, n_capped
+    return ntx, nty, tx0, ty0, nx, wt, n_tiles, n_capped
 
 
-def _slot_tiles(tx0, ty0, nx, n_capped, s, ntx, sentinel, ellipse=None,
-                ts=None):
-    """Tile id of slot ``s`` (row-major over the clipped bbox) per gaussian.
-    tx0/ty0/nx/n_capped: (G, 1) columns; s: (1, S) slot iota.
+def _slot_tiles(tx0, ty0, nx, wt, n_capped, s, ntx, ts, sentinel, ellipse):
+    """Tile id of slot ``s`` per gaussian, sheared-window enumeration.
+    tx0/ty0/nx/wt/n_capped: (G, 1) columns; s: (1, S) slot iota;
+    ``ellipse=(mx, my, ca, cb, cc, op)`` (each (G, 1)).
 
-    ``ellipse=(mx, my, ca, cb, cc, op)`` (each (G, 1)) enables the exact
-    conservative ellipse-tile cull: a slot whose tile rect provably cannot
-    reach the kernels' 1/255 contribution gate is sentineled out. With
-    alpha(p) = op*exp(-q(p)/2), q(p) = d^T conic d, the EXACT minimum of the
-    convex quadratic q over the tile's pixel rect is closed-form: 0 if the
-    mean lies inside, else the min over the 4 edges (each a 1-D quadratic
-    with a clamped stationary point). ``q_min/2 > ln(255*op)`` then
-    guarantees every pixel in the tile is below the gate the kernels (and
-    the oracle) already apply — culling is bit-exact. gsplat's CUDA binning
-    keeps the full bbox (reference call site gsplat_backend.py:83-97), which
-    for thin anisotropic splats wastes most of its intersections on tiles
-    the ellipse never touches."""
-    nx_safe = jnp.maximum(nx, 1)
-    dy = s // nx_safe
-    dx = s - dy * nx_safe
-    tid = (ty0 + dy) * ntx + (tx0 + dx)
+    Slot s -> (row r, column c) of the gaussian's ny x wt window. The
+    window's per-row base is a conservative lower bound on the leftmost
+    tile the gate-ellipse can touch in that row (min chord center over the
+    row band minus the max half-chord), clipped into the gaussian's AABB —
+    every tile the cull below keeps is inside the window (see _tile_rects
+    for the width bound).
+
+    A slot whose tile rect provably cannot reach the kernels' 1/255
+    contribution gate is then sentineled out: with alpha(p) = op*exp(-q/2),
+    q = d^T conic d, the EXACT minimum of the convex quadratic q over the
+    tile rect is closed-form — 0 if the mean lies inside, else the min over
+    the 4 edges (each a 1-D quadratic with a clamped stationary point).
+    ``q_min/2 > ln(255*op)`` guarantees every pixel in the tile is below
+    the gate the kernels (and the oracle) already apply, so culling is
+    bit-exact. gsplat's CUDA binning keeps the full radius bbox (reference
+    call site gsplat_backend.py:83-97), which for thin anisotropic splats
+    wastes most of its intersections on tiles the ellipse never touches."""
+    mx, my, ca, cb, cc, op = ellipse
+    fts = jnp.float32(ts)
+    wt_safe = jnp.maximum(wt, 1)
+    r = s // wt_safe
+    c = s - r * wt_safe
+
+    ca_s = jnp.maximum(ca, 1e-12)
+    cc_s = jnp.maximum(cc, 1e-12)
+    det = ca * cc - cb * cb
+    Q = _gate_q(op)
+
+    # Conservative leftmost kept x in this row band [dyl, dyl+ts]:
+    # chord center -cb*dy/ca drifts |cb|*ts/(2*ca) around the band middle;
+    # half-chord sqrt(ca*Q - det*dy^2)/ca peaks at the band dy nearest 0.
+    dyl = (ty0 + r).astype(jnp.float32) * fts - my
+    dyc = dyl + 0.5 * fts
+    dym = jnp.clip(0.0, dyl, dyl + fts)
+    half_chord = jnp.sqrt(jnp.maximum(ca * Q - det * dym * dym, 0.0)) / ca_s
+    dxlo = (-cb * dyc - 0.5 * jnp.abs(cb) * fts) / ca_s - half_chord - _WINDOW_EPS
+    txlo = jnp.floor((mx + dxlo) / fts).astype(jnp.int32)
+    base = jnp.clip(txlo, tx0, tx0 + nx - wt_safe)
+
+    tx = base + c
+    ty = ty0 + r
+    tid = ty * ntx + tx
     keep = s < n_capped
-    if ellipse is not None:
-        mx, my, ca, cb, cc, op = ellipse
-        fts = jnp.float32(ts)
-        # Tile pixel rect [xl, xl+ts] x [yl, yl+ts] as mean-relative
-        # intervals (covers every pixel-center convention).
-        dxl = (tx0 + dx).astype(jnp.float32) * fts - mx
-        dxh = dxl + fts
-        dyl = (ty0 + dy).astype(jnp.float32) * fts - my
-        dyh = dyl + fts
-        ca_s = jnp.maximum(ca, 1e-12)
-        cc_s = jnp.maximum(cc, 1e-12)
 
-        def q(qx, qy):
-            return ca * qx * qx + 2.0 * cb * qx * qy + cc * qy * qy
+    # Exact conservative ellipse-tile cull over the slot's pixel rect
+    # [xl, xl+ts] x [yl, yl+ts] (covers every pixel-center convention).
+    dxl_t = tx.astype(jnp.float32) * fts - mx
+    dxh_t = dxl_t + fts
+    dyl_t = ty.astype(jnp.float32) * fts - my
+    dyh_t = dyl_t + fts
 
-        def edge_x(qx):   # dx fixed at an x-edge; optimal dy clamped to rect
-            return q(qx, jnp.clip(-cb * qx / cc_s, dyl, dyh))
+    def q(qx, qy):
+        return ca * qx * qx + 2.0 * cb * qx * qy + cc * qy * qy
 
-        def edge_y(qy):
-            return q(jnp.clip(-cb * qy / ca_s, dxl, dxh), qy)
+    def edge_x(qx):   # dx fixed at an x-edge; optimal dy clamped to rect
+        return q(qx, jnp.clip(-cb * qx / cc_s, dyl_t, dyh_t))
 
-        q_min = jnp.minimum(jnp.minimum(edge_x(dxl), edge_x(dxh)),
-                            jnp.minimum(edge_y(dyl), edge_y(dyh)))
-        inside = (dxl <= 0) & (dxh >= 0) & (dyl <= 0) & (dyh >= 0)
-        q_min = jnp.where(inside, 0.0, q_min)
-        # 1e-3 slack >> f32 rounding in the kernels' sigma evaluation.
-        cull = 0.5 * q_min > jnp.log(255.0 * jnp.maximum(op, 1e-12)) + 1e-3
-        keep = keep & ~cull
+    def edge_y(qy):
+        return q(jnp.clip(-cb * qy / ca_s, dxl_t, dxh_t), qy)
+
+    q_min = jnp.minimum(jnp.minimum(edge_x(dxl_t), edge_x(dxh_t)),
+                        jnp.minimum(edge_y(dyl_t), edge_y(dyh_t)))
+    inside = (dxl_t <= 0) & (dxh_t >= 0) & (dyl_t <= 0) & (dyh_t >= 0)
+    q_min = jnp.where(inside, 0.0, q_min)
+    keep = keep & ~(q_min > Q)
     return jnp.where(keep, tid, sentinel)
 
 
@@ -252,8 +333,8 @@ def isect_and_sort(
     assert N < (1 << 24), "gaussian ids must be exact in f32"
     ts = tile_size
     max_t = max_tiles_per_gaussian
-    ntx, nty, tx0, ty0, nx, n_tiles, n_capped = _tile_rects(
-        means2d, opacities, radii, width, height, ts, max_t)
+    ntx, nty, tx0, ty0, nx, wt, n_tiles, n_capped = _tile_rects(
+        means2d, conics, opacities, radii, width, height, ts, max_t)
     T = ntx * nty
     n_dropped = jnp.sum(n_tiles - n_capped)
     gauss_f32 = jnp.arange(N, dtype=jnp.float32)
@@ -264,8 +345,8 @@ def isect_and_sort(
         ell = (means2d[:, 0:1], means2d[:, 1:2], conics[:, 0:1],
                conics[:, 1:2], conics[:, 2:3], opacities[:, None])
         tile_key = _slot_tiles(
-            tx0[:, None], ty0[:, None], nx[:, None], n_capped[:, None],
-            s, ntx, T, ellipse=ell, ts=ts).reshape(-1)
+            tx0[:, None], ty0[:, None], nx[:, None], wt[:, None],
+            n_capped[:, None], s, ntx, ts, T, ellipse=ell).reshape(-1)
 
         def expand(q):
             return jnp.broadcast_to(q[:, None], (N, max_t)).reshape(-1)
@@ -302,12 +383,12 @@ def isect_and_sort(
              opacities,
              colors[:, 0], colors[:, 1], colors[:, 2],
              gauss_f32,
-             tx0, ty0, nx, n_capped),
+             tx0, ty0, nx, wt, n_capped),
             num_keys=1,
         )
         cls_s = ops[0]
         quantities_s = ops[1:12]   # depth, mx, my, ca, cb, cc, op, r, g, b, gid
-        tx0_s, ty0_s, nx_s, ncap_s = ops[12:16]
+        tx0_s, ty0_s, nx_s, wt_s, ncap_s = ops[12:17]
 
         counts_per_class = jnp.sum(
             (cls[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :]).astype(jnp.int32),
@@ -336,6 +417,7 @@ def isect_and_sort(
         tx0_p = jnp.pad(tx0_s, (0, pad))
         ty0_p = jnp.pad(ty0_s, (0, pad))
         nx_p = jnp.pad(nx_s, (0, pad))
+        wt_p = jnp.pad(wt_s, (0, pad))
         ncap_p = jnp.pad(ncap_s, (0, pad))
 
         key_parts = []
@@ -358,7 +440,7 @@ def isect_and_sort(
             ell = tuple(sl(quantities_p[qi])[:, None] for qi in (1, 2, 3, 4, 5, 6))
             tid = _slot_tiles(
                 sl(tx0_p)[:, None], sl(ty0_p)[:, None], sl(nx_p)[:, None],
-                ncap_c[:, None], s, ntx, T, ellipse=ell, ts=ts)
+                sl(wt_p)[:, None], ncap_c[:, None], s, ntx, ts, T, ellipse=ell)
             key_parts.append(tid.reshape(-1))
             for qi in range(11):
                 q_parts[qi].append(

@@ -133,6 +133,7 @@ class GaussianTrainer:
         """Exact per-gaussian clipped tile-rect counts (the same formula as
         ops/tiling._tile_rects) over a few sampled views. Returns a list of
         (n_visible_gaussians,) arrays, one per view."""
+        from gaussian_splatting_tpu.core.activations import opacity_activation
         from gaussian_splatting_tpu.ops.projection import project_gaussians
         from gaussian_splatting_tpu.ops.tiling import exact_tile_counts
 
@@ -142,6 +143,7 @@ class GaussianTrainer:
         counts = []
         n_views = min(3, dataset.num_views)
         scales = jnp.exp(p.log_scales)
+        opac = np.asarray(opacity_activation(p.logit_opacities))[:, 0]
         for i in np.linspace(0, dataset.num_views - 1, n_views).astype(int):
             proj = project_gaussians(
                 p.means, p.quats, scales,
@@ -150,7 +152,9 @@ class GaussianTrainer:
             )
             nt = exact_tile_counts(
                 np.asarray(proj.means2d)[alive], np.asarray(proj.radii)[alive],
-                dataset.width, dataset.height, ts)
+                dataset.width, dataset.height, ts,
+                conics=np.asarray(proj.conics)[alive],
+                opacities=opac[alive])
             if (nt > 0).any():
                 counts.append(nt[nt > 0])
         return counts

@@ -382,8 +382,10 @@ def test_choose_max_tiles_adapts(rng):
 
     ds, gt_means = _synthetic_scene(rng, n_views=3, width=128, height=128)
     cfg = TrainingConfig()
-    # Big scales -> big footprints.
-    st = init_from_points(gt_means, None, 64, capacity=128)
+    # Big scales + real opacity -> big footprints. (Footprints are now
+    # gate-ellipse windows, so they scale with ln(255*op): at the reference
+    # init opacity 0.005 the above-gate region is genuinely ~1 tile.)
+    st = init_from_points(gt_means, None, 64, capacity=128, init_opacity=0.5)
     st = dataclasses.replace(
         st, params=dataclasses.replace(
             st.params, log_scales=jnp.full_like(st.params.log_scales, jnp.log(0.8))))
