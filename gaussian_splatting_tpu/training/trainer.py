@@ -102,6 +102,8 @@ class GaussianTrainer:
             self.backend = "pallas" if jax.default_backend() == "tpu" else "ref"
         self._cum = {"cloned": 0, "split": 0, "pruned": 0, "events": 0}
         self._overflow_strikes = 0
+        self._rebudget_count = 0
+        self._last_rebudget_iter = -(10**9)
 
     # ---- jitted helpers (cached per static config) ----------------------
 
@@ -171,12 +173,16 @@ class GaussianTrainer:
         # Round up to the next power of two for cache-friendly reuse.
         return 1 << (chosen - 1).bit_length()
 
-    def _choose_class_budgets(self, state, dataset, cfg, max_t) -> tuple:
+    def _choose_class_budgets(self, state, dataset, cfg, max_t,
+                              headroom: float = 1.1) -> tuple:
         """Static per-footprint-class gaussian budgets for the compact
         binning (ops/tiling.py): measure the population's class histogram
         over a few views, take the per-class max, add headroom. Overflow at
         runtime is counted (stats/n_budget_dropped) and triggers a
-        re-measure."""
+        re-measure with ESCALATING headroom (a densifying population grows
+        ~topk_fraction per event, so a snapshot-sized budget chronically
+        lags and each miss is a recompile — the caller doubles down
+        instead of thrashing)."""
         from gaussian_splatting_tpu.ops.tiling import (
             class_caps, fill_budgets_to_pow2)
 
@@ -188,10 +194,11 @@ class GaussianTrainer:
             per_view.append(np.bincount(cls, minlength=L)[:L])
         counts = (np.max(per_view, axis=0) if per_view
                   else np.zeros(L, np.int64))
-        # Minimal budgets (1.1x + slack), then fill free headroom up to the
-        # next pow2 of the slot total — lax.sort pays for the pow2 padding
-        # anyway, so slack below the boundary costs nothing.
-        budgets = (np.ceil(counts * 1.1 / 128.0).astype(np.int64) * 128 + 128)
+        # Minimal budgets (headroom + slack), then fill free headroom up to
+        # the next pow2 of the slot total — lax.sort pays for the pow2
+        # padding anyway, so slack below the boundary costs nothing.
+        budgets = (np.ceil(counts * headroom / 128.0).astype(np.int64) * 128
+                   + 128)
         budgets = np.minimum(budgets, state.gauss.capacity)
         from gaussian_splatting_tpu.ops.tiling import cdiv as _cdiv
 
@@ -403,6 +410,8 @@ class GaussianTrainer:
         window_iters = 0
         self._cum = {"cloned": 0, "split": 0, "pruned": 0, "events": 0}
         self._overflow_strikes = 0
+        self._rebudget_count = 0
+        self._last_rebudget_iter = -(10**9)
 
         while it < cfg.iterations:
             idx = batch_rng.choice(len(train_idx), cfg.batch_size, replace=True)
@@ -507,15 +516,26 @@ class GaussianTrainer:
                     n_is = max(int(metrics.get("stats/n_isect", 0)), 1)
                     self._overflow_strikes = (
                         self._overflow_strikes + 1 if n_bd > 0.01 * n_is else 0)
-                    if self._overflow_strikes >= 3:
+                    # Cooldown + escalating headroom: every rebudget is a
+                    # recompile, and a densifying population outgrows a
+                    # snapshot-sized budget again within ~2 densify events
+                    # (measured: rebudget thrash every ~100 iters). Back off
+                    # between rebudgets and size each retry more generously.
+                    cooled = it - self._last_rebudget_iter >= 500
+                    if self._overflow_strikes >= 3 and cooled:
+                        self._rebudget_count += 1
+                        headroom = min(1.1 * 1.35 ** self._rebudget_count, 3.0)
                         budgets = self._choose_class_budgets(
-                            state, dataset, cfg, cfg.max_tiles_per_gaussian)
+                            state, dataset, cfg, cfg.max_tiles_per_gaussian,
+                            headroom=headroom)
                         log.warning(
-                            "class-budget overflow persisted; rebudget %s -> %s",
-                            cfg.class_budgets, budgets)
+                            "class-budget overflow persisted; rebudget "
+                            "(headroom %.2f) %s -> %s",
+                            headroom, cfg.class_budgets, budgets)
                         cfg = cfg.replace(class_budgets=budgets)
                         self.config = cfg
                         self._overflow_strikes = 0
+                        self._last_rebudget_iter = it
 
             # Opacity/scale distribution stats (reference logs quantiles +
             # histograms, trainer.py:89-100, 931-948; quantiles are computed
