@@ -90,16 +90,6 @@ def main():
     n_tiles = (-(-width // 16)) * (-(-height // 16))
     budgets = fill_budgets_to_pow2(budgets, caps, overhead=n_tiles * chunk)
 
-    def loss(m, c2, col, o, dd, s_):
-        img, alpha, depth = rasterize_tiled(
-            m * s_, c2, col, o, dd, radii, width, height,
-            tile_size=16, isect_capacity=cap, chunk=chunk,
-            max_tiles_per_gaussian=max_t, class_budgets=budgets,
-            interpret=not on_tpu,
-        )
-        return jnp.sum(img) + jnp.sum(alpha) + 0.01 * jnp.sum(depth)
-
-    f = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))
     args = (means2d, conics, colors, opac, depths)
 
     stats = jax.jit(
@@ -114,15 +104,24 @@ def main():
     n_budget_dropped = int(stats["n_budget_dropped"])
     n_slots = total_slots(n, max_t, budgets)
 
-    # Cache-busting seeds: the axon remote layer memoizes pure executions.
-    seeds = [jnp.float32(1.0 + 1e-7 * i) for i in range(8)]
-    jax.block_until_ready(f(*args, seeds[-1]))  # compile
-    reps = 5
-    t0 = time.time()
-    for i in range(reps):
-        out = f(*args, seeds[i])
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / reps
+    # Honest timing: reps run inside ONE on-device fori_loop chained through
+    # a carry (time_fn_device) — the remote execution layer can neither
+    # overlap reps across its worker pool nor memoize them (round-1 numbers
+    # used independent perturbed calls and were unreliable; see BENCH.md).
+    from gaussian_splatting_tpu.utils.profiling import time_fn_device
+
+    def fwd_bwd(s, m, c2, col, o, dd, r):
+        def loss2(m, c2, col, o, dd):
+            img, alpha, depth = rasterize_tiled(
+                m * s, c2, col, o, dd, r, width, height,
+                tile_size=16, isect_capacity=cap, chunk=chunk,
+                max_tiles_per_gaussian=max_t, class_budgets=budgets,
+                interpret=not on_tpu,
+            )
+            return jnp.sum(img) + jnp.sum(alpha) + 0.01 * jnp.sum(depth)
+        return jax.grad(loss2, argnums=(0, 1, 2, 3, 4))(m, c2, col, o, dd)
+
+    dt = time_fn_device(fwd_bwd, args + (radii,), reps=6)
 
     pixels = width * height
     value = pixels / dt

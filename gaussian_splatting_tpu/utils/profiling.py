@@ -31,9 +31,11 @@ def annotate(name: str):
 
 
 def time_fn(fn: Callable, seeds: Sequence, reps: int = 5) -> float:
-    """Median-free simple timing with per-call input perturbation: ``fn`` is
-    called as fn(seed) and must make the seed reach every expensive
-    computation (defeats execution memoization). Returns seconds/call."""
+    """DEPRECATED for benchmarking — independent perturbed calls can be
+    overlapped across the remote execution pool and memoized across
+    processes (measured: a 12-operand 8.4M ``lax.sort`` reads 0.35 ms this
+    way vs 265 ms serialized). Kept only for quick smoke timing; all real
+    numbers use ``time_fn_chained``."""
     import jax
 
     out = fn(seeds[-1])
@@ -42,6 +44,85 @@ def time_fn(fn: Callable, seeds: Sequence, reps: int = 5) -> float:
     for i in range(reps):
         out = fn(seeds[i % (len(seeds) - 1)])
     jax.block_until_ready(out)
+    return (time.time() - t0) / reps
+
+
+def time_fn_device(fn: Callable, args: Sequence = (), reps: int = 10,
+                   warm: bool = True) -> float:
+    """The honest timing harness: run ``fn(seed, *args)`` ``reps`` times
+    inside ONE jitted on-device fori_loop whose carry threads a scalar from
+    each iteration's output into the next iteration's seed. One remote
+    execution total, so the remote layer can neither overlap reps across its
+    worker pool nor memoize them, and the per-call RTT (~55 ms measured on
+    this tunnel) is paid once, not per rep.
+
+    ``fn`` must make the f32 scalar seed reach every expensive computation.
+    Arrays must be passed via ``args`` (NOT closed over — closures embed
+    device arrays as HLO constants, bloating compiles and remote requests).
+    Every output leaf is summed into the carry so XLA cannot dead-code any
+    output's computation. Returns seconds/rep: (t(reps) - t(1)) / (reps-1),
+    which also cancels the one-off RTT and the carry-sum epilogue."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    assert reps >= 2
+
+    @jax.jit
+    def run(n, seed, *a):
+        def body(i, carry):
+            s = seed + carry * 1e-30 + jnp.float32(i) * 1e-9
+            out = fn(s, *a)
+            v = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                lv = jnp.sum(leaf).astype(jnp.float32)
+                v = v + jnp.where(jnp.isfinite(lv), lv, 0.0)
+            return v
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    seed = np.float32(np.random.default_rng().uniform(1.0, 1.0 + 1e-5))
+    if warm:
+        jax.block_until_ready(run(1, seed, *args))
+
+    def once(n):
+        t0 = time.time()
+        jax.block_until_ready(run(n, seed, *args))
+        return time.time() - t0
+
+    t1 = once(1)
+    tr = once(reps)
+    return max(tr - t1, 1e-9) / (reps - 1)
+
+
+def time_fn_chained(fn: Callable, reps: int = 5, seed0: float = None) -> float:
+    """Serialization-enforcing timing: call ``i+1``'s input scalar is derived
+    (through a host sync) from call ``i``'s output, so the remote execution
+    layer can neither overlap the reps across its worker pool nor serve them
+    from its content-addressed memoizer (each seed value is fresh per
+    process AND data-dependent on the previous call). ``fn(seed)`` must make
+    the f32 scalar ``seed`` reach every expensive computation.
+
+    Per-rep overhead = one scalar device->host readback; calibrate with a
+    null fn and subtract if it matters. Returns seconds/call."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    if seed0 is None:
+        seed0 = float(np.random.default_rng().uniform(1.0, 1.0 + 1e-4))
+
+    def readback(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        v = float(jnp.ravel(leaf)[0])
+        return v if np.isfinite(v) else 0.0
+
+    s = seed0
+    v = readback(fn(jnp.float32(s)))  # compile + warm
+    s = seed0 + 1e-9 + 1e-30 * v
+    t0 = time.time()
+    for i in range(reps):
+        v = readback(fn(jnp.float32(s)))
+        s = seed0 + 1e-9 * (i + 2) + 1e-30 * v
     return (time.time() - t0) / reps
 
 
