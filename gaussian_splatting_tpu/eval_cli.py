@@ -114,6 +114,7 @@ def main(argv=None) -> int:
     max_tiles = int(rmeta.get("max_tiles_per_gaussian", 16))
     sh_degree = int(rmeta.get("sh_degree_max", 3))
     cap_mult = int(rmeta.get("isect_capacity_mult", 4))
+    rasterize_mode = str(rmeta.get("rasterize_mode", "classic"))
     budgets = rmeta.get("class_budgets")
     budgets = tuple(int(b) for b in budgets) if budgets else None
     if rmeta:
@@ -128,7 +129,8 @@ def main(argv=None) -> int:
                    sh_degree=sh_degree, backend=backend,
                    tile_size=tile_size, raster_chunk=raster_chunk,
                    max_tiles_per_gaussian=max_tiles, class_budgets=budgets,
-                   isect_capacity=cap_mult * params.capacity)
+                   isect_capacity=cap_mult * params.capacity,
+                   rasterize_mode=rasterize_mode)
         return jnp.clip(o.render, 0.0, 1.0)
 
     rows = []

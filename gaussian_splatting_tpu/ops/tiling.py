@@ -313,6 +313,7 @@ def isect_and_sort(
     max_tiles_per_gaussian: int = 16,
     class_budgets: Optional[Tuple[int, ...]] = None,
     depth_bits: int = 0,
+    _skip_final_sort: bool = False,
 ) -> TileBinning:
     """Bin + depth-sort N screen-space gaussians, carrying their render
     quantities through the sort. Returns the kernel-ready SoA and segment
@@ -451,7 +452,11 @@ def isect_and_sort(
         n_isect = jnp.sum((tile_key < T).astype(jnp.int32))
 
     M = tile_key.shape[0]
-    if depth_bits:
+    if _skip_final_sort:
+        # Profiling-only: bypass the big sort (output is NOT render-valid).
+        sorted_ops = (tile_key,) + quantity_cols
+        query = jnp.arange(T + 1, dtype=jnp.int32)
+    elif depth_bits:
         assert (T + 1) < (1 << (31 - depth_bits)), \
             "tile grid too large for the combined sort key"
         levels = (1 << depth_bits) - 1

@@ -86,6 +86,10 @@ class TrainingConfig:
     class_budgets: Optional[tuple] = None
     class_budget_headroom: float = 2.0
     backend: str = "auto"              # auto | pallas | ref
+    # "antialiased" multiplies opacity by the covariance compensation factor
+    # (gsplat rasterize_mode="antialiased" parity); "classic" matches the
+    # reference's default gsplat call (gsplat_backend.py:83-97).
+    rasterize_mode: str = "classic"    # classic | antialiased
     isect_capacity_mult: int = 8       # capacity = mult * capacity_gaussians
     capacity_headroom: float = 1.5     # buffer capacity / population target
     param_dtype: str = "float32"

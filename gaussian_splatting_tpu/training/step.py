@@ -85,6 +85,7 @@ def make_train_step(
                     raster_chunk=config.raster_chunk,
                     class_budgets=config.class_budgets,
                     depth_bits=config.sort_depth_bits,
+                    rasterize_mode=config.rasterize_mode,
                     with_stats=want_stats,
                 )
                 radii_max = jnp.maximum(radii_max, jax.lax.stop_gradient(out.radii))

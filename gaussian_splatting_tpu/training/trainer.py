@@ -236,6 +236,7 @@ class GaussianTrainer:
                                   if cfg.class_budgets else None),
                 "sh_degree_max": cfg.sh_degree_max,
                 "isect_capacity_mult": cfg.isect_capacity_mult,
+                "rasterize_mode": cfg.rasterize_mode,
             },
         }
 
@@ -670,6 +671,7 @@ class GaussianTrainer:
                     max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
                     raster_chunk=cfg.raster_chunk,
                     class_budgets=cfg.class_budgets,
+                    rasterize_mode=cfg.rasterize_mode,
                 )
                 return jnp.clip(out.render, 0.0, 1.0)
 

@@ -75,20 +75,26 @@ def time_fn_device(fn: Callable, args: Sequence = (), reps: int = 10,
             out = fn(s, *a)
             v = jnp.float32(0.0)
             for leaf in jax.tree_util.tree_leaves(out):
-                lv = jnp.sum(leaf).astype(jnp.float32)
+                # Position-DEPENDENT reduction (strided subset): a plain sum
+                # is permutation-invariant, which lets XLA elide sorts
+                # entirely (reduce(sort(x)) -> reduce(x)).
+                lv = jnp.sum(jnp.ravel(leaf)[::4097]).astype(jnp.float32)
                 v = v + jnp.where(jnp.isfinite(lv), lv, 0.0)
             return v
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     seed = np.float32(np.random.default_rng().uniform(1.0, 1.0 + 1e-5))
-    if warm:
-        jax.block_until_ready(run(1, seed, *args))
 
     def once(n):
         t0 = time.time()
-        jax.block_until_ready(run(n, seed, *args))
+        # Read the VALUE, not just block_until_ready: on the remote-TPU
+        # platform block_until_ready can return without forcing execution
+        # (lazy futures); only a device->host value read is a true sync.
+        float(run(n, seed, *args))
         return time.time() - t0
 
+    if warm:
+        once(1)
     t1 = once(1)
     tr = once(reps)
     return max(tr - t1, 1e-9) / (reps - 1)

@@ -1,0 +1,52 @@
+"""Dissect the 268 ms grad-reduce: sort vs cumsum vs searchsorted vs take,
+plus cheaper alternatives for each piece. Honest on-device timing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splatting_tpu.utils.cache import enable_compile_cache
+from gaussian_splatting_tpu.utils.profiling import time_fn_device
+
+enable_compile_cache()
+rng = np.random.default_rng(0)
+
+N = 1_000_000
+pcap = 8_250_624
+key = jnp.asarray(np.sort(rng.integers(0, N + 1, size=(pcap,))).astype(np.float32))
+rows = tuple(jnp.asarray(rng.normal(size=(pcap,)).astype(np.float32))
+             for _ in range(10))
+stacked = jnp.stack(rows, axis=0)
+queries = jnp.arange(N + 1, dtype=jnp.float32)
+
+
+def t(name, fn, args, reps=6):
+    dt = time_fn_device(fn, args, reps=reps)
+    print(f"  {name}: {dt*1e3:.1f} ms", flush=True)
+    return dt
+
+
+t("sort 1key+10pay @8.25M", lambda s, k, *p: jax.lax.sort(
+    (jnp.where(s > 0, k, -k),) + p, num_keys=1), (key,) + rows)
+
+t("cumsum (10, 8.25M) axis=1", lambda s, x: jnp.cumsum(x * s, axis=1),
+  (stacked,))
+
+t("blocked cumsum (10, 8.25M)", lambda s, x: (
+    lambda xb: (lambda intra: intra + (
+        jnp.cumsum(intra[..., -1], -1) - intra[..., -1]
+    )[..., None])(jnp.cumsum(xb, -1)).reshape(x.shape)
+)( (x * s).reshape(10, -1, 4096)), (stacked,))
+
+t("searchsorted 1M queries in 8.25M", lambda s, k, q: jnp.searchsorted(
+    k, q * s), (key, queries))
+
+seg = jnp.asarray(np.sort(rng.integers(0, pcap + 1, size=(N + 1,))).astype(np.int32))
+t("take (10, 8.25M) at 1M+1 cols", lambda s, x, g: jnp.take(
+    x * s, g, axis=1), (stacked, seg))
+
+# Alternative epilogue: segment ends only -> diff of gathered bounds is
+# equivalent to gathering at starts and subtracting; try int32 gather of one
+# row then vmap-free 10-row take with transpose-friendly layout.
+t("take (8.25M,) x10 rows separately", lambda s, x, g: tuple(
+    jnp.take(x[i] * s, g) for i in range(10)), (stacked, seg))

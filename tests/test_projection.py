@@ -133,3 +133,43 @@ def test_opacity_aware_radius_exact(rng):
     imgo = rasterize_reference(po.means2d, po.conics, colors, opac, po.depths,
                                po.radii, width, height, tile_size=16).image
     np.testing.assert_allclose(np.asarray(imgo), np.asarray(img3), atol=1e-7)
+
+
+def test_antialiased_mode_applies_compensation(rng):
+    """rasterize_mode="antialiased" multiplies opacity by the covariance
+    compensation sqrt(det_orig/det_blurred) (gsplat antialiased parity);
+    classic mode ignores it (reference default, gsplat_backend.py:83-97).
+    The compensation must be differentiable through to log_scales."""
+    from gaussian_splatting_tpu.ops.render import render
+
+    width = height = 64
+    view, K = _center_camera()
+    n = 20
+    means = jnp.asarray(rng.normal(size=(n, 3)) * np.array([1, 1, 0.3]) +
+                        np.array([0, 0, 5.0]), jnp.float32)
+    quats = jnp.asarray(rng.normal(size=(n, 4)), jnp.float32)
+    # Small scales -> eps2d blur dominates -> compensation well below 1.
+    log_scales = jnp.asarray(np.log(rng.uniform(0.005, 0.02, size=(n, 3))),
+                             jnp.float32)
+    logit_op = jnp.asarray(rng.normal(size=(n, 1)) + 2.0, jnp.float32)
+    sh = jnp.asarray(rng.normal(size=(n, 1, 3)) * 0.3, jnp.float32)
+
+    out_c = render(means, quats, log_scales, logit_op, sh, view, K,
+                   width, height, sh_degree=0, backend="ref")
+    out_a = render(means, quats, log_scales, logit_op, sh, view, K,
+                   width, height, sh_degree=0, backend="ref",
+                   rasterize_mode="antialiased")
+    a_c = np.asarray(out_c.alpha)
+    a_a = np.asarray(out_a.alpha)
+    assert a_a.max() > 0.01, "antialiased render must still be visible"
+    assert (a_a <= a_c + 1e-6).all(), "compensation <= 1 can only dim"
+    assert a_a.sum() < 0.98 * a_c.sum(), "tiny splats must be dimmed"
+
+    def total_alpha(ls):
+        return jnp.sum(render(means, quats, ls, logit_op, sh, view, K,
+                              width, height, sh_degree=0, backend="ref",
+                              rasterize_mode="antialiased").alpha)
+
+    g = np.asarray(jax.grad(total_alpha)(log_scales))
+    assert np.isfinite(g).all() and np.abs(g).max() > 0, \
+        "compensation must carry gradient to scales"
