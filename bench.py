@@ -78,7 +78,8 @@ def main():
     # headroom — the big payload sort carries only ~pow2-rounded real
     # intersections instead of N*max_t slots.
     from gaussian_splatting_tpu.ops.tiling import (
-        class_caps, exact_tile_counts, fill_budgets_to_pow2, total_slots)
+        class_caps, exact_tile_counts, squeeze_budgets_under_pow2,
+        total_slots)
 
     caps = np.asarray(class_caps(max_t))
     nt = np.minimum(exact_tile_counts(
@@ -87,8 +88,8 @@ def main():
     cls = np.searchsorted(caps, np.clip(nt, 1, max_t))
     hist = np.bincount(cls[nt > 0], minlength=len(caps))[:len(caps)]
     budgets = tuple(int(np.ceil(h * 1.05 / 128) * 128 + 128) for h in hist)
-    n_tiles = (-(-width // 16)) * (-(-height // 16))
-    budgets = fill_budgets_to_pow2(budgets, caps, overhead=n_tiles * chunk)
+    hard_min = tuple(int(np.ceil(h / 128) * 128) for h in hist)
+    budgets = squeeze_budgets_under_pow2(budgets, hard_min, caps)
 
     args = (means2d, conics, colors, opac, depths)
 

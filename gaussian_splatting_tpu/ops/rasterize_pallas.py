@@ -479,7 +479,8 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
         aux = jnp.concatenate([g, out], axis=1)  # (T, 16, P)
         grad_padded = bwd_call(tile_starts, counts, padded_starts, soa, aux)
         n_written = jnp.int32(chunk) * jnp.sum(cdiv(counts, chunk))
-        gr = reduce_padded_grads(grad_padded, N, n_written)
+        gr = reduce_padded_grads(grad_padded, N, n_written,
+                                 interpret=interpret)
         d_means2d = jnp.stack([gr["dmx"], gr["dmy"]], axis=-1)
         d_conics = jnp.stack([gr["dca"], gr["dcb"], gr["dcc"]], axis=-1)
         d_colors = jnp.stack([gr["dr"], gr["dg"], gr["db"]], axis=-1)

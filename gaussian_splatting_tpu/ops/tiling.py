@@ -94,27 +94,55 @@ def class_caps(max_t: int) -> Tuple[int, ...]:
 
 def fill_budgets_to_pow2(min_budgets, caps, max_headroom: float = 2.5,
                          align: int = 128, overhead: int = 0) -> Tuple[int, ...]:
-    """Scale minimal class budgets up to (but not past) the next power of
-    two of the total sort length. Measured on v5e: ``lax.sort`` cost tracks
-    the NEXT POW2 of its length (bitonic padding) — 10.25M slots sorts like
-    16M, 7.18M like 8M — so headroom below the boundary is free and slack
-    above it costs ~2x. ``overhead`` accounts for the gradient buffer's
-    extra T*chunk entries so the SECOND (grad) sort stays under the same
-    boundary as the binning sort."""
-    s_min = sum(int(b) * int(c) for b, c in zip(min_budgets, caps))
-    if s_min <= 0:
-        return tuple(int(b) for b in min_budgets)
-    # Fill up to the tightest boundary the MINIMAL config already pays for —
-    # never across one (that would double a sort): the binning sort pays
-    # next_pow2(slots), the grad sort next_pow2(slots + overhead).
-    p2_bin = 1 << (s_min - 1).bit_length()
-    p2_grad = 1 << (s_min + overhead - 1).bit_length()
-    target = min(p2_bin, p2_grad - overhead)
-    f = max(1.0, min(max_headroom, 0.98 * target / s_min))
+    """DEPRECATED no-op kept for compatibility. Round-1 measured (with the
+    broken independent-call methodology, see BENCH.md) that ``lax.sort``
+    cost tracks the next pow2 of its length, so filling budgets up to the
+    boundary was "free". Honest chained timing shows cost is mostly LINEAR
+    in length with only a ~28% step at pow2 boundaries (12-operand sort:
+    4.19M 35.5 ms -> 4.20M 49.3 ms -> 8.39M 87.7 ms), so filling 6.17M of
+    real slots up to 8.2M was paying ~30% extra. Use
+    ``squeeze_budgets_under_pow2`` instead."""
+    del max_headroom, align, overhead
+    return tuple(int(b) for b in min_budgets)
+
+
+def squeeze_budgets_under_pow2(budgets, hard_min, caps, align: int = 128,
+                               max_trim: float = 0.10) -> Tuple[int, ...]:
+    """If trimming at most ``max_trim`` of the total slot count gets the
+    sort under the next-lower pow2 boundary, trim the headroom (never below
+    ``hard_min``, the measured per-class population): the pow2 step costs
+    ~28% (measured: 35.5 ms at 4.19M vs 49.3 ms at 4.20M for the 12-operand
+    sort), so a small trim that crosses down is a clear win. Otherwise
+    return budgets unchanged."""
+    budgets = [int(b) for b in budgets]
+    hard_min = [int(h) for h in hard_min]
+    s = sum(b * int(c) for b, c in zip(budgets, caps))
+    if s <= 0:
+        return tuple(budgets)
+    p2lo = 1 << (s.bit_length() - 1)        # pow2 floor of current total
+    if s == p2lo:
+        return tuple(budgets)
+    s_hard = sum(h * int(c) for h, c in zip(hard_min, caps))
+    if s_hard > p2lo or s - p2lo > max_trim * s:
+        return tuple(budgets)
+    f = p2lo / s
     out = []
-    for b in min_budgets:
-        scaled = int(b * f) // align * align
-        out.append(max(int(b), scaled))
+    for b, h in zip(budgets, hard_min):
+        t = max(h, int(b * f) // align * align)
+        out.append(min(t, b))
+    # Rounding can leave the total above the boundary; shave the largest
+    # classes (by slot contribution) down an alignment step at a time.
+    total = sum(t * int(c) for t, c in zip(out, caps))
+    order = sorted(range(len(out)), key=lambda i: -out[i] * int(caps[i]))
+    gi = 0
+    while total > p2lo and gi < 10 * len(out):
+        i = order[gi % len(out)]
+        if out[i] - align >= hard_min[i]:
+            out[i] -= align
+            total -= align * int(caps[i])
+        gi += 1
+    if total > p2lo:
+        return tuple(budgets)
     return tuple(out)
 
 
@@ -506,7 +534,7 @@ def isect_and_sort(
 
 
 def reduce_padded_grads(grad_soa: jnp.ndarray, n_gaussians: int,
-                        n_written: jnp.ndarray):
+                        n_written: jnp.ndarray, interpret=None):
     """Per-gaussian gradient reduction — sort-based, scatter-free.
 
     grad_soa: (16, pcap) backward-kernel output; row 11 carries the gaussian
@@ -515,27 +543,26 @@ def reduce_padded_grads(grad_soa: jnp.ndarray, n_gaussians: int,
     ``n_written`` and masked entries carry id >= N (sentinel) and/or zero
     grads. Returns a dict of (N,) arrays.
 
-    Method: payload sort by id (payloads are ~free on TPU), then segmented
-    sums as cumsum differences at segment boundaries found by searchsorted.
+    Method: payload sort by id, then ONE Pallas sweep summing each id's run
+    into its output column (``segsum.segment_sum_sorted``). Round 1 used
+    cumsum + searchsorted + take here; the searchsorted alone cost more
+    than the sort (see segsum.py).
     """
+    from gaussian_splatting_tpu.ops.segsum import segment_sum_sorted
+
     pcap = grad_soa.shape[1]
     pos_ok = jnp.arange(pcap) < n_written
     key = jnp.where(pos_ok, grad_soa[11], float(n_gaussians))
     payloads = tuple(jnp.where(pos_ok, grad_soa[i], 0.0) for i in range(10))
     sorted_ops = jax.lax.sort((key,) + payloads, num_keys=1)
-    sorted_key = sorted_ops[0]
-    seg = jnp.searchsorted(
-        sorted_key, jnp.arange(n_gaussians + 1, dtype=jnp.float32)
-    )
-    stacked = jnp.stack(sorted_ops[1:], axis=0)              # (10, pcap)
-    csum = jnp.cumsum(stacked, axis=1)
-    csum = jnp.concatenate([jnp.zeros((10, 1), csum.dtype), csum], axis=1)
-    bounds = jnp.take(csum, seg, axis=1)                      # (10, N+1)
-    sums = bounds[:, 1:] - bounds[:, :-1]                     # (10, N)
+    stacked = jnp.concatenate(
+        [jnp.stack(sorted_ops, axis=0),
+         jnp.zeros((5, pcap), jnp.float32)], axis=0)          # (16, pcap)
+    sums = segment_sum_sorted(stacked, n_gaussians, interpret=interpret)
     return {
-        "dmx": sums[0], "dmy": sums[1],
-        "dca": sums[2], "dcb": sums[3], "dcc": sums[4],
-        "dop": sums[5],
-        "dr": sums[6], "dg": sums[7], "db": sums[8],
-        "ddepth": sums[9],
+        "dmx": sums[1], "dmy": sums[2],
+        "dca": sums[3], "dcb": sums[4], "dcc": sums[5],
+        "dop": sums[6],
+        "dr": sums[7], "dg": sums[8], "db": sums[9],
+        "ddepth": sums[10],
     }

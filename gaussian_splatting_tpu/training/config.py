@@ -77,14 +77,15 @@ class TrainingConfig:
     # Compact footprint-class binning (ops/tiling.py): per-class gaussian
     # budgets for caps (1, 2, 4, ..., max_tiles_per_gaussian). None = dense
     # N*max_t slots. "auto" binning measures the init population's class
-    # histogram and sets budgets with `class_budget_headroom` slack; overflow
-    # is counted every step (stats/n_budget_dropped) and rebudgeted.
+    # histogram and sets minimal budgets (trimmed under a pow2 sort boundary
+    # when close); overflow is counted every step (stats/n_budget_dropped)
+    # and rebudgeted with escalating headroom.
     binning: str = "auto"              # auto | compact | dense
     # >0 packs (tile << bits | quantized depth) into ONE int32 sort key
     # (cheaper compare; blend order of nearly-equal depths quantizes).
     sort_depth_bits: int = 0
     class_budgets: Optional[tuple] = None
-    class_budget_headroom: float = 2.0
+    class_budget_headroom: float = 2.0  # deprecated (pow2 filling removed)
     backend: str = "auto"              # auto | pallas | ref
     # "antialiased" multiplies opacity by the covariance compensation factor
     # (gsplat rasterize_mode="antialiased" parity); "classic" matches the

@@ -184,7 +184,7 @@ class GaussianTrainer:
         lags and each miss is a recompile — the caller doubles down
         instead of thrashing)."""
         from gaussian_splatting_tpu.ops.tiling import (
-            class_caps, fill_budgets_to_pow2)
+            class_caps, squeeze_budgets_under_pow2)
 
         caps = np.asarray(class_caps(int(max_t)), np.int64)
         L = len(caps)
@@ -194,20 +194,18 @@ class GaussianTrainer:
             per_view.append(np.bincount(cls, minlength=L)[:L])
         counts = (np.max(per_view, axis=0) if per_view
                   else np.zeros(L, np.int64))
-        # Minimal budgets (headroom + slack), then fill free headroom up to
-        # the next pow2 of the slot total — lax.sort pays for the pow2
-        # padding anyway, so slack below the boundary costs nothing.
+        # Minimal budgets (headroom + slack); sort cost is ~linear in slot
+        # count (honest timing, see BENCH.md), so budgets stay minimal and
+        # are only TRIMMED (toward the measured population, never below)
+        # when a small trim drops the sort under a pow2 boundary.
         budgets = (np.ceil(counts * headroom / 128.0).astype(np.int64) * 128
                    + 128)
         budgets = np.minimum(budgets, state.gauss.capacity)
-        from gaussian_splatting_tpu.ops.tiling import cdiv as _cdiv
-
-        n_tiles = _cdiv(dataset.width, cfg.tile_size) * _cdiv(
-            dataset.height, cfg.tile_size)
-        budgets = np.asarray(fill_budgets_to_pow2(
-            budgets, caps, max_headroom=cfg.class_budget_headroom,
-            overhead=n_tiles * cfg.raster_chunk), np.int64)
-        budgets = np.minimum(budgets, state.gauss.capacity)
+        hard_min = np.minimum(
+            np.ceil(counts / 128.0).astype(np.int64) * 128,
+            state.gauss.capacity)
+        budgets = np.asarray(squeeze_budgets_under_pow2(
+            budgets, hard_min, caps), np.int64)
         slots = int((budgets * caps).sum())
         if slots > cfg.max_sort_entries:
             scale = cfg.max_sort_entries / slots

@@ -32,11 +32,9 @@ t("sort 1key+10pay @8.25M", lambda s, k, *p: jax.lax.sort(
 t("cumsum (10, 8.25M) axis=1", lambda s, x: jnp.cumsum(x * s, axis=1),
   (stacked,))
 
-t("blocked cumsum (10, 8.25M)", lambda s, x: (
-    lambda xb: (lambda intra: intra + (
-        jnp.cumsum(intra[..., -1], -1) - intra[..., -1]
-    )[..., None])(jnp.cumsum(xb, -1)).reshape(x.shape)
-)( (x * s).reshape(10, -1, 4096)), (stacked,))
+t("mask 11 rows (where pos_ok)", lambda s, x: tuple(
+    jnp.where(jnp.arange(pcap) < jnp.int32(pcap * 0.6), x[i] * s, 0.0)
+    for i in range(10)), (stacked,))
 
 t("searchsorted 1M queries in 8.25M", lambda s, k, q: jnp.searchsorted(
     k, q * s), (key, queries))
@@ -50,3 +48,11 @@ t("take (10, 8.25M) at 1M+1 cols", lambda s, x, g: jnp.take(
 # row then vmap-free 10-row take with transpose-friendly layout.
 t("take (8.25M,) x10 rows separately", lambda s, x, g: tuple(
     jnp.take(x[i] * s, g) for i in range(10)), (stacked, seg))
+
+from gaussian_splatting_tpu.ops.tiling import reduce_padded_grads
+
+gbuf = jnp.concatenate(
+    [stacked, key[None, :] * 0, key[None, :],
+     jnp.zeros((4, pcap), jnp.float32)], axis=0)
+t("full reduce_padded_grads", lambda s, gb: reduce_padded_grads(
+    gb * s, N, jnp.int32(pcap)), (gbuf,))

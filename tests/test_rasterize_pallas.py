@@ -401,3 +401,29 @@ def test_full_render_pallas_vs_ref_3d(rng):
         scale = np.abs(gr).max() + 1e-8
         np.testing.assert_allclose(gp, gr, atol=3e-4 * scale, rtol=2e-3,
                                    err_msg=f"grad mismatch: {name}")
+
+
+def test_squeeze_budgets_under_pow2():
+    from gaussian_splatting_tpu.ops.tiling import squeeze_budgets_under_pow2
+
+    caps = (1, 2, 4)
+    # Total 1100*1 + 600*2 + 500*4 = 4300, pow2 floor 4096: 4.7% trim -> in.
+    budgets = (1152, 640, 512)   # 4480 slots
+    hard = (1024, 512, 384)      # 3584 slots
+    out = squeeze_budgets_under_pow2(budgets, hard, caps)
+    assert sum(b * c for b, c in zip(out, caps)) <= 4096
+    assert all(o >= h for o, h in zip(out, hard))
+    assert all(o <= b for o, b in zip(out, budgets))
+
+    # Hard minimum above the boundary -> unchanged.
+    hard_big = (1152, 640, 512)
+    out2 = squeeze_budgets_under_pow2(budgets, hard_big, caps)
+    assert out2 == budgets
+
+    # Trim larger than max_trim -> unchanged.
+    budgets3 = (2048, 1024, 1024)  # 8192... exactly pow2 -> unchanged
+    out3 = squeeze_budgets_under_pow2(budgets3, (0, 0, 0), caps)
+    assert out3 == budgets3
+    budgets4 = (2048, 1536, 1280)  # 10240, pow2lo 8192: 20% trim > 10% cap
+    out4 = squeeze_budgets_under_pow2(budgets4, (0, 0, 0), caps)
+    assert out4 == budgets4
