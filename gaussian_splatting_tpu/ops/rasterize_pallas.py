@@ -22,11 +22,14 @@ re-derived for the VPU/MXU and for what XLA does fast around it:
   while-loop break across chunks — matching the CUDA semantics exactly.
 - Backward recomputes alphas per chunk (no big residuals) in one
   forward-order sweep; suffix sums come from ``Q_total - prefix`` where
-  Q_total falls out of the saved forward output. Per-entry gradients go to a
-  chunk-aligned padded buffer (disjoint per tile — race-free, no atomics),
+  Q_total falls out of the saved forward output. Per-entry gradients are
+  appended COMPACTLY to one stream shared across tiles (VMEM staging ring +
+  double-buffered bounce DMAs; grid is sequential, so no atomics needed),
   tagged with the gaussian id the kernel echoes from SoA row 11; the XLA
-  side reduces them per gaussian with a payload sort + segmented cumsum
-  (``tiling.reduce_padded_grads``) — never a scatter-add.
+  side reduces them per gaussian with a payload sort + one Pallas segmented
+  sum (``tiling.reduce_padded_grads``) — never a scatter-add. Early-
+  terminated chunks (zero gradient) are dropped, so the reduce runs on
+  ~n_isect entries instead of a padded capacity.
 """
 
 import functools
@@ -39,7 +42,6 @@ from jax.experimental.pallas import tpu as pltpu
 from gaussian_splatting_tpu.ops.tiling import (
     cdiv,
     isect_and_sort,
-    padded_capacity_for,
     reduce_padded_grads,
     total_slots,
 )
@@ -199,17 +201,24 @@ def _fwd_kernel(starts_ref, counts_ref, soa_ref, out_ref, scratch, sem,
     out_ref[0] = acc
 
 
-def _bwd_kernel(starts_ref, counts_ref, pstarts_ref, soa_ref, aux_ref, grad_ref,
-                scratch, gscratch, sem, wsem, *, ts, ntx, chunk, n_gaussians,
-                grad_cap):
-    """Backward sweep with the same double-buffered read DMA as forward plus
-    deferred (async) gradient writes: chunk i's write is waited only when its
-    buffer slot is reused at i+2 — reads, compute, and writes all overlap."""
+def _bwd_kernel(starts_ref, counts_ref, soa_ref, aux_ref, grad_ref, meta_ref,
+                scratch, staging, bounce, sem, wsem, smem, *, ts, ntx, chunk,
+                n_gaussians, n_tiles, grad_cap):
+    """Backward sweep with the same double-buffered read DMA as forward.
+
+    Gradient entries are written COMPACTLY: each processed chunk appends its
+    ``valid`` entries to a staging ring shared across all tiles (dynamic-
+    offset vector stores — synchronous, so an append's garbage tail past the
+    cursor is safely overwritten by the next append), and full chunks flush
+    to HBM with aligned DMAs through a double-buffered bounce. Per-tile
+    chunk padding is gone and early-terminated chunks are DROPPED outright
+    (their gradients are zero), so the reduce sort runs on ~n_isect entries
+    instead of the round-1 padded capacity. ``meta`` reports the dynamic
+    [n_written, n_dropped]."""
     P = ts * ts
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
-    pstart = pstarts_ref[t]
     shift = jax.lax.rem(start, chunk)
     base = start - shift
     n_chunks = pl.cdiv(count, chunk)
@@ -218,6 +227,15 @@ def _bwd_kernel(starts_ref, counts_ref, pstarts_ref, soa_ref, aux_ref, grad_ref,
     basis = _moment_basis(ts)                       # (6, P) static
     ox = ((t % ntx) * ts).astype(jnp.float32)       # tile origin
     oy = ((t // ntx) * ts).astype(jnp.float32)
+
+    # Persistent append state: [cursor, flushed_chunks, dropped_chunks].
+    @pl.when(t == 0)
+    def _():
+        smem[0] = 0
+        smem[1] = 0
+        smem[2] = 0
+        meta_ref[0, 0] = 0
+        meta_ref[0, 1] = 0
 
     gpix = aux_ref[0, 0:8, :]   # (8, P) cotangent of the forward accumulators
     fout = aux_ref[0, 8:16, :]  # (8, P) saved forward output
@@ -235,22 +253,53 @@ def _bwd_kernel(starts_ref, counts_ref, pstarts_ref, soa_ref, aux_ref, grad_ref,
             sem.at[jax.lax.rem(i, 2)],
         )
 
-    def write_ok(i):
-        return pstart + i * chunk + chunk <= grad_cap
-
-    def write_dma(i):
-        woff = pl.multiple_of(pstart + i * chunk, chunk)
+    def flush_dma(slot, hbm_chunk):
         return pltpu.make_async_copy(
-            gscratch.at[jax.lax.rem(i, 2)],
-            grad_ref.at[:, pl.ds(woff, chunk)],
-            wsem.at[jax.lax.rem(i, 2)],
+            bounce.at[slot],
+            grad_ref.at[:, pl.ds(pl.multiple_of(hbm_chunk * chunk, chunk),
+                                 chunk)],
+            wsem.at[slot],
         )
 
-    def retire_write(i):
-        # Slot i%2 is about to be refilled — wait out the write issued at i-2.
-        @pl.when((i >= 2) & write_ok(i - 2))
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (16, 2 * chunk), 1)
+
+    def append(gblock, valid):
+        """Append ``valid`` leading columns of gblock (16, chunk) to the
+        staging ring; flush a full chunk to HBM when the cursor crosses.
+        Mosaic has no unaligned dynamic vector store, so the append is a
+        full-window read-modify-write: roll the block to the cursor
+        (dynamic rolls ARE lowered) and select by a column mask. Columns
+        past ``valid`` are garbage that the next append (or the final
+        sentinel fill) overwrites before any flush reads them."""
+        c = smem[0]
+        rolled = pltpu.roll(jnp.concatenate([gblock, gblock], axis=1), c, 1)
+        staging[:, :] = jnp.where((col2 >= c) & (col2 < c + chunk),
+                                  rolled, staging[:, :])
+        c = c + valid
+        smem[0] = c
+
+        @pl.when(c >= chunk)
         def _():
-            write_dma(i - 2).wait()
+            ok = smem[1] * chunk + chunk <= grad_cap
+
+            @pl.when(ok)
+            def _():
+                nflush = smem[1]
+                slot = jax.lax.rem(nflush, 2)
+
+                # Retire this bounce slot's previous flush (nflush-2).
+                @pl.when(nflush >= 2)
+                def _():
+                    flush_dma(slot, jnp.int32(0)).wait()
+                bounce[slot] = staging[:, :chunk]
+                flush_dma(slot, nflush).start()
+                smem[1] = nflush + 1
+
+            @pl.when(jnp.logical_not(ok))
+            def _():
+                smem[2] = smem[2] + 1
+            staging[:, :chunk] = staging[:, chunk:]
+            smem[0] = c - chunk
 
     @pl.when(n_chunks > 0)
     def _():
@@ -328,22 +377,14 @@ def _bwd_kernel(starts_ref, counts_ref, pstarts_ref, soa_ref, aux_ref, grad_ref,
 
         gid = jnp.where(valid, data[11:12, :], float(n_gaussians))
 
-        retire_write(i)
-
-        @pl.when(write_ok(i))
-        def _():
-            slot = jax.lax.rem(i, 2)
-            gscratch[slot, 0:1, :] = dmx
-            gscratch[slot, 1:2, :] = dmy
-            gscratch[slot, 2:3, :] = dca
-            gscratch[slot, 3:4, :] = dcb
-            gscratch[slot, 4:5, :] = dcc
-            gscratch[slot, 5:6, :] = dop
-            gscratch[slot, 6:10, :] = d_extras[0:4, :]   # dr, dg, db, ddepth
-            gscratch[slot, 10:11, :] = jnp.zeros((1, chunk), jnp.float32)
-            gscratch[slot, 11:12, :] = gid
-            gscratch[slot, 12:16, :] = jnp.zeros((4, chunk), jnp.float32)
-            write_dma(i).start()
+        gblock = jnp.concatenate([
+            dmx, dmy, dca, dcb, dcc, dop,
+            d_extras[0:4, :],                          # dr, dg, db, ddepth
+            jnp.zeros((1, chunk), jnp.float32),
+            gid,
+            jnp.zeros((4, chunk), jnp.float32),
+        ], axis=0)                                     # (16, chunk)
+        append(gblock, jnp.minimum(count - i * chunk, chunk))
 
         tcar = tcar * jnp.min(jnp.where(mask, prod_incl, 1.0), axis=1, keepdims=True)
         pcar = pcar + jnp.sum(gww, axis=1, keepdims=True)
@@ -354,34 +395,37 @@ def _bwd_kernel(starts_ref, counts_ref, pstarts_ref, soa_ref, aux_ref, grad_ref,
     ie, _, _ = jax.lax.while_loop(cond, body, init)
 
     # Drain the read prefetch issued for the chunk after an early exit.
+    # (Early-terminated chunks are NOT appended: their gradients are zero.)
     @pl.when(ie < n_chunks)
     def _():
         read_dma(ie).wait()
 
-    # Early-terminated chunks still need sentinel entries in the grad buffer
-    # (the reduction masks by total written chunks, not per-tile stop points).
-    def fill_body(j, _):
-        retire_write(j)
+    # Last tile: sentinel-fill the staging tail, flush it, retire all DMAs,
+    # and publish [n_written, n_dropped].
+    @pl.when(t == n_tiles - 1)
+    def _():
+        c = smem[0]
+        sent = jnp.concatenate([
+            jnp.zeros((11, chunk), jnp.float32),
+            jnp.full((1, chunk), float(n_gaussians), jnp.float32),
+            jnp.zeros((4, chunk), jnp.float32),
+        ], axis=0)
 
-        @pl.when(write_ok(j))
+        @pl.when(c > 0)
         def _():
-            slot = jax.lax.rem(j, 2)
-            gscratch[slot, :, :] = jnp.zeros((16, chunk), jnp.float32)
-            gscratch[slot, 11:12, :] = jnp.full(
-                (1, chunk), float(n_gaussians), jnp.float32)
-            write_dma(j).start()
-        return 0
+            append(sent, chunk - c)   # pads to the boundary and flushes
 
-    jax.lax.fori_loop(ie, n_chunks, fill_body, 0)
+        nflush = smem[1]
 
-    # Retire the last two in-flight writes.
-    @pl.when((n_chunks >= 2) & write_ok(n_chunks - 2))
-    def _():
-        write_dma(n_chunks - 2).wait()
+        @pl.when(nflush >= 2)
+        def _():
+            flush_dma(jax.lax.rem(nflush, 2), jnp.int32(0)).wait()
 
-    @pl.when((n_chunks >= 1) & write_ok(n_chunks - 1))
-    def _():
-        write_dma(n_chunks - 1).wait()
+        @pl.when(nflush >= 1)
+        def _():
+            flush_dma(jax.lax.rem(nflush + 1, 2), jnp.int32(0)).wait()
+        meta_ref[0, 0] = nflush * chunk
+        meta_ref[0, 1] = smem[2] * chunk
 
 
 @functools.lru_cache(maxsize=None)
@@ -390,21 +434,17 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
     P = ts * ts
     T = ntx * nty
     n_slots = total_slots(N, max_t, class_budgets)
-    pcap = padded_capacity_for(n_slots, T, chunk)
-    # Gradient-buffer capacity. With compact class budgets, pcap itself is a
-    # tight exact bound (n_written <= slots + T*chunk), so no drops occur;
-    # the dense layout keeps the grad_cap_mult knob (worst-case pcap assumes
-    # every slot real). Writes beyond the cap are dropped AND counted
-    # (stats/n_grad_dropped). Like the sort slots, the grad sort pays for
-    # the next pow2 of its length, so a bound within 20% above a pow2 snaps
-    # down to it.
+    # Gradient-buffer capacity: the backward kernel appends COMPACTLY (no
+    # per-tile chunk padding, early-terminated chunks dropped), so real
+    # entries never exceed n_isect <= n_slots; +1 chunk for the final
+    # sentinel pad. The dense layout bounds with the grad_cap_mult knob
+    # (n_slots = N*max_t assumes every slot real); overflow is dropped AND
+    # counted (stats/n_grad_dropped).
     if class_budgets is None:
-        bound = min(pcap, cdiv(grad_cap_mult * N + T * chunk, chunk) * chunk)
+        bound = min(n_slots, grad_cap_mult * N)
     else:
-        bound = pcap
-    p2f = 1 << (max(bound, 2).bit_length() - 1)
-    grad_cap = p2f if bound <= int(1.2 * p2f) else bound
-    grad_cap = min(grad_cap // chunk * chunk, pcap)
+        bound = n_slots
+    grad_cap = cdiv(bound, chunk) * chunk + chunk
 
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, ts=ts, ntx=ntx, chunk=chunk),
@@ -424,32 +464,43 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
 
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, ts=ts, ntx=ntx, chunk=chunk, n_gaussians=N,
-                          grad_cap=grad_cap),
+                          n_tiles=T, grad_cap=grad_cap),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=2,
             grid=(T,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, 16, P), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, 2), lambda t, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((2, 16, 2 * chunk), jnp.float32),
+                pltpu.VMEM((16, 2 * chunk), jnp.float32),
                 pltpu.VMEM((2, 16, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((3,), jnp.int32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((16, grad_cap), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((16, grad_cap), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
 
-    def _grad_drop_bound(counts):
-        """Entries the backward pass will drop at the grad_cap — computable
-        in forward (it depends only on the per-tile counts)."""
-        n_written = jnp.int32(chunk) * jnp.sum(cdiv(counts, chunk))
-        return jnp.maximum(n_written - jnp.int32(grad_cap), 0)
+    def _grad_drop_bound(n_isect):
+        """Upper bound on entries the backward pass can drop at grad_cap —
+        computable in forward (real drops depend on early termination and
+        are reported exactly by the kernel's meta output; this conservative
+        bound is what the forward-only stats path can report). Always 0 in
+        compact mode (grad_cap >= n_slots + chunk >= any n_written)."""
+        return jnp.maximum(n_isect + jnp.int32(chunk) - jnp.int32(grad_cap), 0)
 
     @jax.custom_vjp
     def core(means2d, conics, colors, opacities, depths, radii):
@@ -460,7 +511,7 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
         )
         out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
         return (out, b.n_isect, b.n_dropped, b.n_budget_dropped,
-                _grad_drop_bound(b.counts))
+                _grad_drop_bound(b.n_isect))
 
     def fwd(means2d, conics, colors, opacities, depths, radii):
         b = isect_and_sort(
@@ -469,17 +520,16 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
             depth_bits=depth_bits,
         )
         out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
-        res = (b.sorted_soa, b.tile_starts, b.counts, b.padded_starts, out)
+        res = (b.sorted_soa, b.tile_starts, b.counts, out)
         return (out, b.n_isect, b.n_dropped, b.n_budget_dropped,
-                _grad_drop_bound(b.counts)), res
+                _grad_drop_bound(b.n_isect)), res
 
     def bwd(res, cts):
         g = cts[0]  # (T, 8, P); stats cotangents ignored
-        soa, tile_starts, counts, padded_starts, out = res
+        soa, tile_starts, counts, out = res
         aux = jnp.concatenate([g, out], axis=1)  # (T, 16, P)
-        grad_padded = bwd_call(tile_starts, counts, padded_starts, soa, aux)
-        n_written = jnp.int32(chunk) * jnp.sum(cdiv(counts, chunk))
-        gr = reduce_padded_grads(grad_padded, N, n_written,
+        grad_padded, meta = bwd_call(tile_starts, counts, soa, aux)
+        gr = reduce_padded_grads(grad_padded, N, meta[0, 0],
                                  interpret=interpret)
         d_means2d = jnp.stack([gr["dmx"], gr["dmy"]], axis=-1)
         d_conics = jnp.stack([gr["dca"], gr["dcb"], gr["dcc"]], axis=-1)
