@@ -256,8 +256,9 @@ def _tile_rects(means2d, conics, opacities, radii, width, height, ts, max_t):
 
 def _slot_tiles(tx0, ty0, nx, wt, n_capped, s, ntx, ts, sentinel, ellipse):
     """Tile id of slot ``s`` per gaussian, sheared-window enumeration.
-    tx0/ty0/nx/wt/n_capped: (G, 1) columns; s: (1, S) slot iota;
-    ``ellipse=(mx, my, ca, cb, cc, op)`` (each (G, 1)).
+    Pure elementwise broadcasting: callers pass (1, G) rows with an (S, 1)
+    slot iota (lanes on the large G axis) — or any compatible layout —
+    and get the broadcast shape back. ``ellipse=(mx, my, ca, cb, cc, op)``.
 
     Slot s -> (row r, column c) of the gaussian's ny x wt window. The
     window's per-row base is a conservative lower bound on the leftmost
@@ -369,16 +370,19 @@ def isect_and_sort(
     gauss_f32 = jnp.arange(N, dtype=jnp.float32)
 
     if class_budgets is None:
-        # Dense slot enumeration (N, MAX_T); sentinel tile T for unused slots.
-        s = jnp.arange(max_t, dtype=jnp.int32)[None, :]
-        ell = (means2d[:, 0:1], means2d[:, 1:2], conics[:, 0:1],
-               conics[:, 1:2], conics[:, 2:3], opacities[:, None])
+        # Dense slot enumeration, laid out (MAX_T, N) so the vector lanes ride
+        # the large N axis (a (N, max_t) layout puts 16 lanes on the minor dim
+        # — terribly tiled on TPU). Slot order is free: the big sort below is
+        # the only consumer.
+        s = jnp.arange(max_t, dtype=jnp.int32)[:, None]
+        ell = (means2d[None, :, 0], means2d[None, :, 1], conics[None, :, 0],
+               conics[None, :, 1], conics[None, :, 2], opacities[None, :])
         tile_key = _slot_tiles(
-            tx0[:, None], ty0[:, None], nx[:, None], wt[:, None],
-            n_capped[:, None], s, ntx, ts, T, ellipse=ell).reshape(-1)
+            tx0[None, :], ty0[None, :], nx[None, :], wt[None, :],
+            n_capped[None, :], s, ntx, ts, T, ellipse=ell).reshape(-1)
 
         def expand(q):
-            return jnp.broadcast_to(q[:, None], (N, max_t)).reshape(-1)
+            return jnp.broadcast_to(q[None, :], (max_t, N)).reshape(-1)
 
         quantity_cols = (
             expand(depths),
@@ -463,18 +467,22 @@ def isect_and_sort(
             def sl(a, _s=start_c, _n=NC):
                 return jax.lax.dynamic_slice_in_dim(a, _s, _n, axis=0)
 
-            s = jnp.arange(cap_c, dtype=jnp.int32)[None, :]
+            # (cap_c, NC) layout: lanes ride the 128-aligned budget axis, not
+            # the tiny cap_c axis (1..max_t lanes would cripple TPU tiling).
+            # Slot order within the concatenation is free — the big sort is
+            # the only consumer.
+            s = jnp.arange(cap_c, dtype=jnp.int32)[:, None]
             ncap_c = jnp.where(in_class, sl(ncap_p), 0)
             # quantities_p order: depth, mx, my, ca, cb, cc, op, r, g, b, gid
-            ell = tuple(sl(quantities_p[qi])[:, None] for qi in (1, 2, 3, 4, 5, 6))
+            ell = tuple(sl(quantities_p[qi])[None, :] for qi in (1, 2, 3, 4, 5, 6))
             tid = _slot_tiles(
-                sl(tx0_p)[:, None], sl(ty0_p)[:, None], sl(nx_p)[:, None],
-                sl(wt_p)[:, None], ncap_c[:, None], s, ntx, ts, T, ellipse=ell)
+                sl(tx0_p)[None, :], sl(ty0_p)[None, :], sl(nx_p)[None, :],
+                sl(wt_p)[None, :], ncap_c[None, :], s, ntx, ts, T, ellipse=ell)
             key_parts.append(tid.reshape(-1))
             for qi in range(11):
                 q_parts[qi].append(
-                    jnp.broadcast_to(sl(quantities_p[qi])[:, None],
-                                     (NC, cap_c)).reshape(-1))
+                    jnp.broadcast_to(sl(quantities_p[qi])[None, :],
+                                     (cap_c, NC)).reshape(-1))
         tile_key = jnp.concatenate(key_parts)
         quantity_cols = tuple(jnp.concatenate(p) for p in q_parts)
         n_isect = jnp.sum((tile_key < T).astype(jnp.int32))
