@@ -254,6 +254,50 @@ def test_tile_cap_overflow_counted(rng):
                           "n_grad_dropped"}
 
 
+def test_grad_cap_overflow_counted_and_survivable(rng):
+    """Dense mode caps the gradient buffer at grad_cap_mult*N entries; a
+    heavy-overlap scene (every splat covers most tiles, low opacity so no
+    early termination) overflows it. The forward stats must report a
+    nonzero n_grad_dropped bound, the backward kernel must drop (not
+    corrupt) the overflow, and the pixels must be unaffected (the cap only
+    exists on the gradient path)."""
+    width, height = 64, 48
+    m, c, col, o, d, radii = _screen_gaussians(
+        rng, 30, width, height, radius_scale=20.0, opacity_range=(0.05, 0.12))
+
+    def f(max_t):
+        return rasterize_tiled(m, c, col, o, d, radii, width, height,
+                               tile_size=16, chunk=128,
+                               max_tiles_per_gaussian=max_t,
+                               interpret=True, with_stats=True)
+
+    img16, _, _, stats16 = f(16)   # grad cap = min(16N, 8N) = 8N
+    # The scene must genuinely exceed the cap: ~12 tiles per splat.
+    assert int(stats16["n_isect"]) > 8 * m.shape[0]
+    assert int(stats16["n_grad_dropped"]) > 0
+
+    def loss(max_t, *a):
+        img, alpha, _, _ = rasterize_tiled(
+            *a, radii, width, height, tile_size=16, chunk=128,
+            max_tiles_per_gaussian=max_t, interpret=True, with_stats=True)
+        return jnp.sum(img) + 0.3 * jnp.sum(alpha**2)
+
+    g = jax.grad(lambda *a: loss(16, *a), argnums=(0, 1, 2, 3, 4))(
+        m, c, col, o, d)
+    for name, ga in zip(["means2d", "conics", "colors", "opac", "depths"], g):
+        assert np.isfinite(np.asarray(ga)).all(), name
+
+    # Pixels are identical with and without grad-buffer pressure: render
+    # with max_t=8 halves n_slots (cap 8N -> no overflow on this scene is
+    # NOT guaranteed, so compare against the oracle-checked f(16) pixels
+    # via a bigger chunk instead — same forward math, different cap).
+    img_big, _, _, stats_big = rasterize_tiled(
+        m, c, col, o, d, radii, width, height, tile_size=16, chunk=256,
+        max_tiles_per_gaussian=16, interpret=True, with_stats=True)
+    np.testing.assert_allclose(np.asarray(img_big), np.asarray(img16),
+                               atol=1e-5)
+
+
 def test_quantized_depth_key(rng):
     """depth_bits packs (tile << bits | qdepth) into one int32 key. With
     well-separated depths the quantization can't reorder anything, so the
