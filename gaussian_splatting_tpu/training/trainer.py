@@ -691,7 +691,7 @@ class GaussianTrainer:
 
         masked_op = p.masked_opacities(alive)
         l1s, ssims, psnrs = [], [], []
-        sample = None
+        panels = []
         for i in val_idx:
             b = gather_batch(jnp.asarray([int(i)], jnp.int32))
             img = render_one(p, masked_op, b.viewmats[0], b.Ks[0])
@@ -700,10 +700,17 @@ class GaussianTrainer:
             l1s.append(float(l1))
             ssims.append(float(s))
             psnrs.append(float(ps))
-            if sample is None:
-                sample = np.concatenate([np.asarray(img), np.asarray(gt)], axis=1)
-        if sample is not None and self.logger is not None:
-            self.logger.log_image("val/render_vs_gt", sample, step=int(state.iteration))
+            panels.append(np.concatenate([np.asarray(img), np.asarray(gt)],
+                                         axis=1))
+        if panels and self.logger is not None:
+            # Multi-view gallery (reference logs a val gallery,
+            # trainer.py:523-593): render|gt rows stacked vertically.
+            self.logger.log_image("val/render_vs_gt", panels[0],
+                                  step=int(state.iteration))
+            if len(panels) > 1:
+                self.logger.log_image("val/gallery",
+                                      np.concatenate(panels, axis=0),
+                                      step=int(state.iteration))
         return {
             "val/l1": float(np.mean(l1s)),
             "val/ssim": float(np.mean(ssims)),
