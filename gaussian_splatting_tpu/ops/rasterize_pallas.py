@@ -52,15 +52,22 @@ T_EARLY_STOP = 1e-4
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _prefix_sum_lanes(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Inclusive prefix sum along lanes (axis=1), Hillis-Steele."""
-    assert (n & (n - 1)) == 0, "chunk must be a power of two"
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    d = 1
-    while d < n:
-        x = jnp.where(col >= d, x + pltpu.roll(x, d, 1), x)
-        d *= 2
-    return x
+def _triu_ones(n: int) -> jnp.ndarray:
+    """Static (n, n) upper-triangular ones: U[j, k] = 1 for j <= k.
+    ``x @ U`` is an inclusive prefix sum along lanes — ONE MXU matmul
+    replacing the log2(n) roll+add+select stages of a Hillis-Steele VPU
+    scan. The MXU sits mostly idle in the backward otherwise, so the matmul
+    is effectively free throughput. Hoisted out of the chunk loop."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    return (row <= col).astype(jnp.float32)
+
+
+def _prefix_sum_lanes_mxu(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PREC,
+    )
 
 
 def _prefix_prod_lanes(x: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -163,9 +170,13 @@ def _fwd_kernel(starts_ref, counts_ref, soa_ref, out_ref, scratch, sem,
         alpha, *_ = _chunk_alpha(data, px, py, valid)
         one_m = 1.0 - alpha                       # >= 1 - ALPHA_CLAMP
         prod_incl = _prefix_prod_lanes(one_m, chunk)
+        # Exclusive prefix product by a single lane shift — replaces the
+        # per-(pixel, entry) divide prod_incl / one_m (divides are the most
+        # expensive VPU op in the chunk; the shift is one roll+select).
+        prod_excl = jnp.where(col == 0, 1.0, pltpu.roll(prod_incl, 1, 1))
         t_after = tcar * prod_incl
         mask = t_after > T_EARLY_STOP
-        w = jnp.where(mask, alpha * tcar * prod_incl / one_m, 0.0)  # (P, K)
+        w = jnp.where(mask, alpha * tcar * prod_excl, 0.0)  # (P, K)
         extras = data[6:14, :]  # rows r, g, b, depth, one, gid, 0, 0
         ew = jnp.concatenate(
             [extras[0:5], jnp.zeros((3, chunk), jnp.float32)], axis=0
@@ -225,6 +236,7 @@ def _bwd_kernel(starts_ref, counts_ref, soa_ref, aux_ref, grad_ref, meta_ref,
     px, py = _pixel_coords(t, ts, ntx)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     basis = _moment_basis(ts)                       # (6, P) static
+    tri = _triu_ones(chunk)                         # (K, K) static
     ox = ((t % ntx) * ts).astype(jnp.float32)       # tile origin
     oy = ((t // ntx) * ts).astype(jnp.float32)
 
@@ -327,9 +339,10 @@ def _bwd_kernel(starts_ref, counts_ref, soa_ref, aux_ref, grad_ref, meta_ref,
         )
         one_m = 1.0 - alpha
         prod_incl = _prefix_prod_lanes(one_m, chunk)
+        prod_excl = jnp.where(col == 0, 1.0, pltpu.roll(prod_incl, 1, 1))
         t_after = tcar * prod_incl
         mask = t_after > T_EARLY_STOP
-        t_before = tcar * prod_incl / one_m
+        t_before = tcar * prod_excl
         w = jnp.where(mask, alpha * t_before, 0.0)
 
         extras = data[6:14, :]
@@ -341,7 +354,7 @@ def _bwd_kernel(starts_ref, counts_ref, soa_ref, aux_ref, grad_ref, meta_ref,
             preferred_element_type=jnp.float32, precision=_PREC,
         )  # (P, K)
         gww = gw * w
-        prefix_incl = pcar + _prefix_sum_lanes(gww, chunk)
+        prefix_incl = pcar + _prefix_sum_lanes_mxu(gww, tri)
         suffix = q_col - prefix_incl
         d_alpha = jnp.where(mask, gw * t_before - suffix / one_m, 0.0)
 
@@ -430,7 +443,8 @@ def _bwd_kernel(starts_ref, counts_ref, soa_ref, aux_ref, grad_ref, meta_ref,
 
 @functools.lru_cache(maxsize=None)
 def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
-               grad_cap_mult=8, class_budgets=None, depth_bits=0):
+               grad_cap_mult=8, class_budgets=None, depth_bits=0,
+               grad_frac=1.0):
     P = ts * ts
     T = ntx * nty
     n_slots = total_slots(N, max_t, class_budgets)
@@ -440,10 +454,18 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
     # sentinel pad. The dense layout bounds with the grad_cap_mult knob
     # (n_slots = N*max_t assumes every slot real); overflow is dropped AND
     # counted (stats/n_grad_dropped).
+    #
+    # grad_frac < 1 shrinks the buffer below the exact bound: sentinel slots
+    # never reach it and early-terminated chunks are dropped before it, so
+    # the measured occupancy (``rasterize_grad_meta``) is typically well
+    # under n_slots — and the gid payload sort over this buffer is the
+    # single most expensive backward stage, scaling ~linearly with its
+    # static length. Overflow is dropped AND counted, never silent.
     if class_budgets is None:
         bound = min(n_slots, grad_cap_mult * N)
     else:
         bound = n_slots
+    bound = max(chunk, int(bound * float(grad_frac)))
     grad_cap = cdiv(bound, chunk) * chunk + chunk
 
     fwd_call = pl.pallas_call(
@@ -507,7 +529,7 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
         b = isect_and_sort(
             means2d, conics, colors, opacities, depths, radii,
             width, height, ts, chunk, max_t, class_budgets=class_budgets,
-            depth_bits=depth_bits,
+            depth_bits=depth_bits, interpret=interpret,
         )
         out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
         return (out, b.n_isect, b.n_dropped, b.n_budget_dropped,
@@ -517,7 +539,7 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
         b = isect_and_sort(
             means2d, conics, colors, opacities, depths, radii,
             width, height, ts, chunk, max_t, class_budgets=class_budgets,
-            depth_bits=depth_bits,
+            depth_bits=depth_bits, interpret=interpret,
         )
         out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
         res = (b.sorted_soa, b.tile_starts, b.counts, out)
@@ -536,7 +558,23 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
         d_colors = jnp.stack([gr["dr"], gr["dg"], gr["db"]], axis=-1)
         return d_means2d, d_conics, d_colors, gr["dop"], gr["ddepth"], None
 
+    def probe_meta(means2d, conics, colors, opacities, depths, radii):
+        """Exact gradient-buffer occupancy: run binning + forward + one
+        backward sweep (unit cotangents — occupancy depends only on segment
+        counts and early termination, not on the cotangent values) and
+        return the kernel's (n_written, n_dropped) meta."""
+        b = isect_and_sort(
+            means2d, conics, colors, opacities, depths, radii,
+            width, height, ts, chunk, max_t, class_budgets=class_budgets,
+            depth_bits=depth_bits, interpret=interpret,
+        )
+        out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
+        aux = jnp.concatenate([jnp.ones_like(out), out], axis=1)
+        _, meta = bwd_call(b.tile_starts, b.counts, b.sorted_soa, aux)
+        return meta[0, 0], meta[0, 1], jnp.int32(grad_cap)
+
     core.defvjp(fwd, bwd)
+    core.probe_meta = probe_meta
     return core
 
 
@@ -556,6 +594,7 @@ def rasterize_tiled(
     max_tiles_per_gaussian=16,
     class_budgets=None,
     depth_bits=0,
+    grad_buffer_frac=1.0,
     interpret=None,
     with_stats=False,
 ):
@@ -579,7 +618,8 @@ def rasterize_tiled(
 
     core = _make_core(ts, ntx, nty, chunk, N, max_tiles_per_gaussian,
                       width, height, bool(interpret),
-                      class_budgets=class_budgets, depth_bits=int(depth_bits))
+                      class_budgets=class_budgets, depth_bits=int(depth_bits),
+                      grad_frac=float(grad_buffer_frac))
     out, n_isect, n_dropped, n_budget_dropped, n_grad_dropped = core(
         means2d, conics, colors, opacities, depths, radii)
 
@@ -598,3 +638,28 @@ def rasterize_tiled(
             "n_grad_dropped": n_grad_dropped,
         }
     return rgb, alpha_img, depth_img
+
+
+def rasterize_grad_meta(
+    means2d, conics, colors, opacities, depths, radii, width, height,
+    tile_size=16, chunk=256, max_tiles_per_gaussian=16, class_budgets=None,
+    depth_bits=0, grad_buffer_frac=1.0, interpret=None,
+):
+    """Exact gradient-buffer occupancy for one render: returns the int
+    triple (n_written, n_dropped, grad_cap) from a real backward sweep.
+    Used to size ``grad_buffer_frac`` (bench) and by the trainer's
+    hysteresis (raise the frac when a probe shows drops or near-full
+    occupancy) — the forward-path ``stats/n_grad_dropped`` is only a
+    conservative bound when the frac is below 1."""
+    ts = tile_size
+    ntx = cdiv(width, ts)
+    nty = cdiv(height, ts)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if class_budgets is not None:
+        class_budgets = tuple(int(b) for b in class_budgets)
+    core = _make_core(ts, ntx, nty, chunk, means2d.shape[0],
+                      max_tiles_per_gaussian, width, height, bool(interpret),
+                      class_budgets=class_budgets, depth_bits=int(depth_bits),
+                      grad_frac=float(grad_buffer_frac))
+    return core.probe_meta(means2d, conics, colors, opacities, depths, radii)

@@ -52,6 +52,7 @@ def render(
     raster_chunk: int = 256,
     class_budgets=None,
     depth_bits: int = 0,
+    grad_buffer_frac: float = 1.0,
     rasterize_mode: str = "classic",
     with_stats: bool = False,
 ) -> RenderOut:
@@ -101,6 +102,7 @@ def render(
             isect_capacity=isect_capacity, chunk=raster_chunk,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             class_budgets=class_budgets, depth_bits=depth_bits,
+            grad_buffer_frac=grad_buffer_frac,
             with_stats=with_stats,
         )
         if with_stats:
@@ -132,4 +134,37 @@ def render(
         radii=proj.radii,
         visibility=proj.radii > 0,
         stats=stats,
+    )
+
+
+def render_grad_meta(
+    means, quats, log_scales, logit_opacities, sh_coeffs, viewmat, K,
+    width, height, sh_degree=3, tile_size=16, max_tiles_per_gaussian=16,
+    raster_chunk=256, class_budgets=None, depth_bits=0,
+    grad_buffer_frac=1.0, rasterize_mode="classic",
+):
+    """Exact gradient-buffer occupancy (n_written, n_dropped, grad_cap) for
+    one view through the pallas backend — the trainer's probe for sizing
+    ``grad_buffer_frac`` (see rasterize_pallas.rasterize_grad_meta)."""
+    from gaussian_splatting_tpu.ops.rasterize_pallas import rasterize_grad_meta
+
+    scales = scale_activation(log_scales)
+    opac = opacity_activation(logit_opacities.reshape(-1))
+    quats_n = quat_normalize(quats)
+    proj = project_gaussians(means, quats_n, scales, viewmat, K, width, height,
+                             opacities=opac)
+    if rasterize_mode == "antialiased":
+        opac = opac * proj.compensations
+    R = viewmat[:3, :3]
+    t = viewmat[:3, 3]
+    cam_pos = -R.T @ t
+    dirs = means - cam_pos[None, :]
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    colors = sh_to_color(sh_degree, sh_coeffs, dirs)
+    return rasterize_grad_meta(
+        proj.means2d, proj.conics, colors, opac, proj.depths, proj.radii,
+        width, height, tile_size=tile_size, chunk=raster_chunk,
+        max_tiles_per_gaussian=max_tiles_per_gaussian,
+        class_budgets=class_budgets, depth_bits=depth_bits,
+        grad_buffer_frac=grad_buffer_frac,
     )

@@ -48,10 +48,13 @@ every gradient entry for the sort-based reduction (ids < 2^24 are exact in
 f32).
 """
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 # A gaussian with opacity below the kernels' per-pixel contribution gate
 # (rasterize_pallas.ALPHA_SKIP) can never contribute color or gradient:
@@ -328,6 +331,60 @@ def _slot_tiles(tx0, ty0, nx, wt, n_capped, s, ntx, ts, sentinel, ellipse):
     return jnp.where(keep, tid, sentinel)
 
 
+_PACK_C = 8192  # columns per pack-kernel block (512 KB out block in VMEM)
+
+
+def _pack_kernel(*refs, C, M):
+    """One grid step packs C columns of the 11 sorted quantity rows into the
+    (16, C) SoA block: rows 0..9 data, row 10 = 1.0, row 11 = gaussian id,
+    rows 12..15 = 0. Columns past M (the pad tail the rasterizer's aligned
+    window reads run into) are zeroed, bit-identical to the jnp.stack +
+    jnp.pad this kernel replaces — which XLA lowered to ~10 ms of strided
+    copies at the 1M-gaussian benchmark (measured; see BENCH.md) where this
+    single bandwidth-bound pass costs ~1 ms."""
+    ins, out = refs[:-1], refs[-1]
+    b = pl.program_id(0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + b * C
+    ok = col < M
+    for i in range(10):          # mx, my, ca, cb, cc, op, r, g, b, depth
+        out[i:i + 1, :] = jnp.where(ok, ins[i][...], 0.0)
+    out[10:11, :] = jnp.where(ok, 1.0, 0.0)
+    out[11:12, :] = jnp.where(ok, ins[10][...], 0.0)
+    out[12:16, :] = jnp.zeros((4, C), jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pack(M, pad, interpret):
+    C = _PACK_C
+    Mout = cdiv(M + pad, C) * C
+    n_in_blocks = cdiv(M, C)
+
+    def in_map(b):
+        return (0, jnp.minimum(b, n_in_blocks - 1))
+
+    return pl.pallas_call(
+        functools.partial(_pack_kernel, C=C, M=M),
+        grid=(Mout // C,),
+        in_specs=[pl.BlockSpec((1, C), in_map, memory_space=pltpu.VMEM)
+                  for _ in range(11)],
+        out_specs=pl.BlockSpec((16, C), lambda b: (0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, Mout), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def pack_soa(quantity_rows, pad: int, interpret: Optional[bool] = None):
+    """Stack the 11 sorted (M,) quantity arrays [mx, my, ca, cb, cc, op, r,
+    g, b, depth, gid] into the kernel-ready (16, >= M + pad) SoA (layout in
+    the module docstring) with one bandwidth-bound Pallas pass."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    M = quantity_rows[0].shape[0]
+    call = _make_pack(M, pad, bool(interpret))
+    return call(*(q.reshape(1, M) for q in quantity_rows))
+
+
 def isect_and_sort(
     means2d: jnp.ndarray,
     conics: jnp.ndarray,
@@ -342,6 +399,7 @@ def isect_and_sort(
     max_tiles_per_gaussian: int = 16,
     class_budgets: Optional[Tuple[int, ...]] = None,
     depth_bits: int = 0,
+    interpret: Optional[bool] = None,
     _skip_final_sort: bool = False,
 ) -> TileBinning:
     """Bin + depth-sort N screen-space gaussians, carrying their render
@@ -519,17 +577,14 @@ def isect_and_sort(
         chunk * (jnp.cumsum(chunks_per_tile) - chunks_per_tile)
     ).astype(jnp.int32)
 
-    # Stack into the kernel SoA, padded by 2*chunk so aligned window reads
+    # Pack into the kernel SoA, padded by >= 2*chunk so aligned window reads
     # never run off the end. Sentinel-slot entries sit past every tile's
-    # segment and are additionally masked in-kernel by the counts.
-    pad = 2 * chunk
-    zeros = jnp.zeros((M,), jnp.float32)
-    rows = [
-        s_mx, s_my, s_ca, s_cb, s_cc, s_op, s_r, s_g, s_b, s_depth,
-        jnp.ones((M,), jnp.float32), s_gid, zeros, zeros, zeros, zeros,
-    ]
-    soa = jnp.stack(rows, axis=0)
-    soa = jnp.pad(soa, ((0, 0), (0, pad)))
+    # segment and are additionally masked in-kernel by the counts. One
+    # Pallas pass (pack_soa) — jnp.stack + jnp.pad lowered to ~10 ms of
+    # strided copies here (measured at the 1M bench; see BENCH.md).
+    soa = pack_soa(
+        (s_mx, s_my, s_ca, s_cb, s_cc, s_op, s_r, s_g, s_b, s_depth, s_gid),
+        pad=2 * chunk, interpret=interpret)
     return TileBinning(
         sorted_soa=soa,
         tile_starts=tile_starts,

@@ -85,6 +85,15 @@ class TrainingConfig:
     # (cheaper compare; blend order of nearly-equal depths quantizes).
     sort_depth_bits: int = 0
     class_budgets: Optional[tuple] = None
+    # Gradient-buffer capacity as a fraction of the exact bound (the sort
+    # slot count). The gid payload sort over this buffer is the costliest
+    # backward stage and scales ~linearly with its static length, while the
+    # measured occupancy (early-terminated chunks are dropped in-kernel) is
+    # typically ~55-75% of the bound. 1.0 = exact, can never drop. Below 1,
+    # the trainer probes exact occupancy (rasterize_grad_meta) every
+    # val_interval and raises the frac when a probe shows drops or >92%
+    # occupancy (hysteresis recompile, like class rebudgets).
+    grad_buffer_frac: float = 1.0
     class_budget_headroom: float = 2.0  # deprecated (pow2 filling removed)
     backend: str = "auto"              # auto | pallas | ref
     # "antialiased" multiplies opacity by the covariance compensation factor

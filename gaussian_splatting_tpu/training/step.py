@@ -85,6 +85,7 @@ def make_train_step(
                     raster_chunk=config.raster_chunk,
                     class_budgets=config.class_budgets,
                     depth_bits=config.sort_depth_bits,
+                    grad_buffer_frac=config.grad_buffer_frac,
                     rasterize_mode=config.rasterize_mode,
                     with_stats=want_stats,
                 )

@@ -369,7 +369,7 @@ class GaussianTrainer:
 
         def get_step(sh_degree: int, capacity: int):
             key = (sh_degree, capacity, cfg.max_tiles_per_gaussian,
-                   cfg.class_budgets)
+                   cfg.class_budgets, cfg.grad_buffer_frac)
             if key not in step_cache:
                 t0 = time.time()
                 if mesh is not None:
@@ -590,6 +590,44 @@ class GaussianTrainer:
                 vm = self.validate(state, gather_batch, val_idx, sh_deg, width, height)
                 if vm:
                     self.logger.log(vm, step=it)
+
+            # Gradient-buffer watchdog: with a shrunk buffer
+            # (grad_buffer_frac < 1) the forward-path stats/n_grad_dropped is
+            # only a conservative bound — probe the EXACT kernel occupancy
+            # on one train view and grow the frac (hysteresis recompile,
+            # like class rebudgets) when drops or near-full occupancy show.
+            if (cfg.grad_buffer_frac < 1.0 and self.backend == "pallas"
+                    and mesh is None and it % cfg.val_interval == 0):
+                try:
+                    from gaussian_splatting_tpu.ops.render import render_grad_meta
+
+                    b1 = gather_batch(jnp.asarray(train_idx[:1], jnp.int32))
+                    p = state.gauss.params
+                    nw, nd, gcap = render_grad_meta(
+                        p.means, p.quats, p.log_scales,
+                        p.masked_opacities(state.gauss.alive), p.sh_coeffs,
+                        b1.viewmats[0], b1.Ks[0], width, height,
+                        sh_degree=sh_deg, tile_size=cfg.tile_size,
+                        max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+                        raster_chunk=cfg.raster_chunk,
+                        class_budgets=cfg.class_budgets,
+                        depth_bits=cfg.sort_depth_bits,
+                        grad_buffer_frac=cfg.grad_buffer_frac,
+                        rasterize_mode=cfg.rasterize_mode)
+                    nw, nd, gcap = int(nw), int(nd), int(gcap)
+                    self.logger.log({"stats/grad_buf_written": nw,
+                                     "stats/grad_buf_dropped": nd,
+                                     "stats/grad_buf_cap": gcap}, step=it)
+                    if nd > 0 or nw > 0.92 * gcap:
+                        newf = min(1.0, cfg.grad_buffer_frac * 1.35)
+                        log.warning(
+                            "grad buffer near full (%d/%d written, %d "
+                            "dropped); grad_buffer_frac %.2f -> %.2f",
+                            nw, gcap, nd, cfg.grad_buffer_frac, newf)
+                        cfg = cfg.replace(grad_buffer_frac=newf)
+                        self.config = cfg
+                except Exception as e:  # a probe must never kill training
+                    log.warning("grad-buffer probe failed: %s", e)
 
             # Checkpoints (trainer.py:986-987).
             if it % cfg.checkpoint_interval == 0:

@@ -471,3 +471,54 @@ def test_squeeze_budgets_under_pow2():
     budgets4 = (2048, 1536, 1280)  # 10240, pow2lo 8192: 20% trim > 10% cap
     out4 = squeeze_budgets_under_pow2(budgets4, (0, 0, 0), caps)
     assert out4 == budgets4
+
+
+def test_grad_buffer_frac_exact_and_starved(rng):
+    """grad_buffer_frac < 1 shrinks the gradient buffer (and with it the
+    reduce sort). (a) With enough headroom for the measured occupancy the
+    gradients are bit-identical to the exact buffer and the occupancy probe
+    reports zero drops; (b) starved, the probe reports drops and the
+    gradients stay finite (drops are counted, never corrupting)."""
+    from gaussian_splatting_tpu.ops.rasterize_pallas import rasterize_grad_meta
+
+    width, height = 64, 48
+    m, c, col, o, d, radii = _screen_gaussians(
+        rng, 200, width, height, radius_scale=4.0, opacity_range=(0.05, 0.15))
+
+    def loss(frac, *a):
+        img, alpha, depth = rasterize_tiled(
+            *a, radii, width, height, tile_size=16, chunk=128,
+            grad_buffer_frac=frac, interpret=True)
+        return (jnp.sum(img) + 0.3 * jnp.sum(alpha ** 2)
+                + 0.05 * jnp.sum(depth ** 2))
+
+    nw, nd, cap = rasterize_grad_meta(
+        m, c, col, o, d, radii, width, height, tile_size=16, chunk=128,
+        interpret=True)
+    assert int(nd) == 0 and int(nw) > 300  # heavy-overlap scene, no drops
+    g1 = jax.grad(lambda *a: loss(1.0, *a), argnums=(0, 1, 2, 3, 4))(
+        m, c, col, o, d)
+
+    bound_exact = min(200 * 16, 8 * 200)
+    frac_fit = min(1.0, (int(nw) + 3 * 128) / bound_exact)
+    assert frac_fit < 1.0  # the shrunk path is actually exercised
+    nw2, nd2, cap2 = rasterize_grad_meta(
+        m, c, col, o, d, radii, width, height, tile_size=16, chunk=128,
+        grad_buffer_frac=frac_fit, interpret=True)
+    assert int(cap2) < int(cap) and int(nd2) == 0 and int(nw2) == int(nw)
+    g2 = jax.grad(lambda *a: loss(frac_fit, *a), argnums=(0, 1, 2, 3, 4))(
+        m, c, col, o, d)
+    for name, a1, a2 in zip(["means2d", "conics", "colors", "opac", "depths"],
+                            g1, g2):
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2),
+                                      err_msg=f"shrunk-buffer grad: {name}")
+
+    # Starved: the minimum buffer (one chunk + sentinel pad) must drop.
+    nw3, nd3, _ = rasterize_grad_meta(
+        m, c, col, o, d, radii, width, height, tile_size=16, chunk=128,
+        grad_buffer_frac=1e-6, interpret=True)
+    assert int(nd3) > 0
+    g3 = jax.grad(lambda *a: loss(1e-6, *a), argnums=(0, 1, 2, 3, 4))(
+        m, c, col, o, d)
+    for name, a3 in zip(["means2d", "conics", "colors", "opac", "depths"], g3):
+        assert np.isfinite(np.asarray(a3)).all(), name
