@@ -1,6 +1,11 @@
 """End-to-end hardware validation: synthetic video -> SfM -> full training
 with the Pallas rasterizer -> eval PSNR. The whole user pipeline on a real
-chip. Run: python benchmarks/train_synthetic_tpu.py [iters] [--res WxH]
+chip. Run: python benchmarks/train_synthetic_tpu.py [iters] [--poses]
+
+--poses enables joint camera-pose refinement (a capability the reference
+lacks — its SfM poses are frozen) plus the BARF/CamP-style test-time pose
+alignment at validation; both the raw and the aligned val PSNR are
+reported, so the no-poses run stays directly comparable.
 """
 
 import json
@@ -12,6 +17,7 @@ import time
 
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    poses = "--poses" in sys.argv
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -61,6 +67,13 @@ def main():
         sh_increment_interval=max(1, min(1500, iters // 3)),
         val_interval=500 if long_run else max(1, iters // 4), val_max_views=4,
         checkpoint_interval=10**9, log_scalar_interval=25,
+        # Joint camera-pose refinement (--poses): the 16 dB wall on this
+        # scene is SfM pose error (BENCH.md round-2 analysis: train PSNR
+        # tracks val PSNR; exact poses reach 47 dB on the same loop).
+        optimize_poses=poses,
+        pose_lr_init=1e-3, pose_lr_final=1e-5,
+        pose_start_iter=min(300, max(100, iters // 20)),
+        val_pose_align_steps=100 if poses else 0,
     )
     trainer = GaussianTrainer(cfg)
     out_dir = os.path.join(tmp, "run")
@@ -72,17 +85,23 @@ def main():
     # Final val metrics + the full PSNR curve from the log.
     last_val = {}
     curve = []
+    curve_aligned = []
     with open(os.path.join(out_dir, "metrics.jsonl")) as f:
         for line in f:
             r = json.loads(line)
             if "val/psnr" in r:
                 last_val = r
                 curve.append([r.get("_step"), round(float(r["val/psnr"]), 2)])
+                if "val/psnr_aligned" in r:
+                    curve_aligned.append(
+                        [r.get("_step"), round(float(r["val/psnr_aligned"]), 2)])
     print(json.dumps({
         "metric": "synthetic_e2e_val_psnr",
         "value": round(float(last_val.get("val/psnr", float("nan"))), 2),
         "unit": "dB",
         "psnr_curve": curve,
+        "psnr_curve_aligned": curve_aligned or None,
+        "optimize_poses": poses,
         "best_psnr": max((c[1] for c in curve), default=float("nan")),
         "iters": iters,
         "backend": trainer.backend,

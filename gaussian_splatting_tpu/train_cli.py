@@ -38,6 +38,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="densify the top FRACTION of gaussians by grad rank "
                         "each event (scale-free alternative to the absolute "
                         "grad threshold)")
+    p.add_argument("--optimize-poses", action="store_true",
+                   help="refine camera poses jointly with the gaussians "
+                        "(per-train-view se(3) deltas; the SfM bootstrap "
+                        "poses are only a coarse init)")
+    p.add_argument("--pose-lr", type=float, default=None,
+                   help="initial pose learning rate (decays to pose_lr_final)")
+    p.add_argument("--pose-start-iter", type=int, default=None,
+                   help="iteration at which pose refinement starts")
+    p.add_argument("--grad-buffer-frac", type=float, default=None,
+                   help="gradient-buffer capacity as a fraction of the exact "
+                        "bound (<1 shrinks the backward reduce sort; the "
+                        "trainer probes occupancy and grows it on drops)")
     p.add_argument("--resume", default=None, help="checkpoint .npz to resume from")
     p.add_argument("--mesh-data", type=int, default=None)
     p.add_argument("--mesh-model", type=int, default=None)
@@ -63,6 +75,8 @@ def config_from_args(args):
         "backend": "backend", "tile_size": "tile_size", "cache_dir": "cache_dir",
         "mesh_data": "mesh_data", "mesh_model": "mesh_tile",
         "densify_topk": "densify_topk_fraction",
+        "pose_lr": "pose_lr_init", "pose_start_iter": "pose_start_iter",
+        "grad_buffer_frac": "grad_buffer_frac",
         "wandb_mode": "wandb_mode", "wandb_project": "wandb_project",
         "wandb_run_name": "wandb_run_name",
     }
@@ -71,6 +85,8 @@ def config_from_args(args):
         v = getattr(args, argname, None)
         if v is not None:
             overrides[field] = v
+    if getattr(args, "optimize_poses", False):
+        overrides["optimize_poses"] = True
     return dataclasses.replace(cfg, **overrides)
 
 

@@ -38,6 +38,10 @@ def save_checkpoint(path: str, state: TrainState, extra: Optional[dict] = None) 
     arrays["max_radii2d"] = np.asarray(state.gauss.max_radii2d)
     arrays["adam_step"] = np.asarray(state.opt.step)
     arrays["iteration"] = np.asarray(state.iteration)
+    if state.poses is not None:
+        arrays["poses/deltas"] = np.asarray(state.poses.deltas)
+        arrays["poses/mu"] = np.asarray(state.poses.mu)
+        arrays["poses/nu"] = np.asarray(state.poses.nu)
     arrays["meta_json"] = np.frombuffer(
         json.dumps(extra or {}).encode(), dtype=np.uint8
     )
@@ -59,10 +63,18 @@ def load_checkpoint(path: str) -> Tuple[TrainState, dict]:
         xyz_grad_count=jnp.asarray(z["xyz_grad_count"]),
         max_radii2d=jnp.asarray(z["max_radii2d"]),
     )
+    poses = None
+    if "poses/deltas" in z:
+        from gaussian_splatting_tpu.training.step import PoseState
+
+        poses = PoseState(deltas=jnp.asarray(z["poses/deltas"]),
+                          mu=jnp.asarray(z["poses/mu"]),
+                          nu=jnp.asarray(z["poses/nu"]))
     state = TrainState(
         gauss=gauss,
         opt=AdamState(mu=mu, nu=nu, step=jnp.asarray(z["adam_step"])),
         iteration=jnp.asarray(z["iteration"]),
+        poses=poses,
     )
     meta = json.loads(bytes(z["meta_json"].tobytes()).decode() or "{}")
     return state, meta

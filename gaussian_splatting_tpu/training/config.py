@@ -96,6 +96,23 @@ class TrainingConfig:
     grad_buffer_frac: float = 1.0
     class_budget_headroom: float = 2.0  # deprecated (pow2 filling removed)
     backend: str = "auto"              # auto | pallas | ref
+    # --- camera pose refinement (capability the reference lacks: its SfM
+    # poses are frozen; measured on the synthetic-orbit benchmark the SfM
+    # pose error caps PSNR at ~16 dB where exact poses reach 47 dB) ---
+    # Optimize a per-train-view se(3) delta jointly with the gaussians
+    # (core/se3.py; validation views stay unrefined).
+    optimize_poses: bool = False
+    pose_lr_init: float = 1e-3
+    pose_lr_final: float = 1e-5
+    pose_start_iter: int = 0           # let the gaussians settle first
+    # Test-time pose alignment at validation (BARF/CamP eval protocol):
+    # once train poses are refined, the model's gauge drifts from the SfM
+    # gauge the held-out views were posed in, so raw val PSNR conflates
+    # reconstruction error with camera error. With steps > 0, validation
+    # additionally optimizes ONE se(3) delta per val view (gaussians
+    # frozen) and reports `val/psnr_aligned` next to the raw `val/psnr`.
+    val_pose_align_steps: int = 0
+    val_pose_align_lr: float = 3e-3
     # "antialiased" multiplies opacity by the covariance compensation factor
     # (gsplat rasterize_mode="antialiased" parity); "classic" matches the
     # reference's default gsplat call (gsplat_backend.py:83-97).

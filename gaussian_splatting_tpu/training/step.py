@@ -8,11 +8,12 @@ Replaces the reference's per-step Python orchestration
 """
 
 import dataclasses
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
+from gaussian_splatting_tpu.core.se3 import apply_pose_delta
 from gaussian_splatting_tpu.models.gaussians import GaussianState
 from gaussian_splatting_tpu.ops.render import render
 from gaussian_splatting_tpu.training.loss import photometric_loss, scale_ratio_reg
@@ -24,10 +25,32 @@ from gaussian_splatting_tpu.training.optimizer import (
 )
 
 
+class PoseState(NamedTuple):
+    """Per-view se(3) pose corrections + their Adam moments (camera pose
+    refinement — a capability the reference lacks: its SfM poses are frozen,
+    reference trainer call stack §3.3). Row v corrects view v's world-to-
+    camera by left multiplication (core/se3.py). Held-out validation views
+    never appear in a train batch, so their rows stay exactly zero."""
+
+    deltas: jnp.ndarray  # (V, 6) se(3) = (omega, upsilon)
+    mu: jnp.ndarray      # (V, 6) Adam first moment
+    nu: jnp.ndarray      # (V, 6) Adam second moment
+
+
+def pose_state_init(n_views: int) -> PoseState:
+    # Three DISTINCT buffers: the jitted step donates its input state, and
+    # donating one underlying buffer for several parameters is an
+    # InvalidArgument on TPU.
+    return PoseState(deltas=jnp.zeros((n_views, 6), jnp.float32),
+                     mu=jnp.zeros((n_views, 6), jnp.float32),
+                     nu=jnp.zeros((n_views, 6), jnp.float32))
+
+
 class TrainState(NamedTuple):
     gauss: GaussianState
     opt: AdamState
     iteration: jnp.ndarray  # () int32
+    poses: Optional[PoseState] = None
 
 
 class ViewBatch(NamedTuple):
@@ -36,6 +59,20 @@ class ViewBatch(NamedTuple):
     images: jnp.ndarray    # (B, H, W, 3) f32 in [0, 1]
     viewmats: jnp.ndarray  # (B, 4, 4) world-to-camera
     Ks: jnp.ndarray        # (B, 3, 3)
+    view_idx: Optional[jnp.ndarray] = None  # (B,) int32 dataset view ids
+
+
+def pose_lr_schedule(config, iteration) -> jnp.ndarray:
+    """Exponential decay pose_lr_init -> pose_lr_final over
+    position_lr_max_steps (the xyz schedule's shape), gated to zero before
+    pose_start_iter so the gaussians settle onto the SfM init first."""
+    progress = jnp.minimum(
+        iteration.astype(jnp.float32) / float(config.position_lr_max_steps), 1.0
+    )
+    lr = jnp.float32(config.pose_lr_init) * (
+        config.pose_lr_final / config.pose_lr_init
+    ) ** progress
+    return jnp.where(iteration >= config.pose_start_iter, lr, 0.0)
 
 
 def make_train_step(
@@ -54,11 +91,15 @@ def make_train_step(
     recompiles, matching the reference's warmup intent of not evaluating
     inactive SH bands at all — reference ``trainer.py:77-87``)."""
 
+    optimize_poses = bool(getattr(config, "optimize_poses", False))
+
     def step(state: TrainState, batch: ViewBatch):
         B = batch.images.shape[0]
         alive = state.gauss.alive
+        pose_on = (optimize_poses and state.poses is not None
+                   and batch.view_idx is not None)
 
-        def loss_fn(params):
+        def loss_fn(params, deltas):
             sh = params.sh_coeffs
             masked_op = params.masked_opacities(alive)
 
@@ -74,7 +115,11 @@ def make_train_step(
 
             def render_one(carry, view):
                 total, m_acc, radii_max, s_acc = carry
-                image, viewmat, K = view
+                if pose_on:
+                    image, viewmat, K, vidx = view
+                    viewmat = apply_pose_delta(viewmat, deltas[vidx])
+                else:
+                    image, viewmat, K = view
                 out = render(
                     params.means, params.quats, params.log_scales, masked_op,
                     sh, viewmat, K, width, height,
@@ -102,8 +147,11 @@ def make_train_step(
                 jnp.zeros_like(state.gauss.max_radii2d),
                 {k: jnp.int32(0) for k in stat_keys},
             )
+            xs = (batch.images, batch.viewmats, batch.Ks)
+            if pose_on:
+                xs = xs + (batch.view_idx,)
             (total, m_acc, radii_max, s_acc), _ = jax.lax.scan(
-                render_one, init, (batch.images, batch.viewmats, batch.Ks)
+                render_one, init, xs
             )
             total = total / B
             reg = scale_ratio_reg(
@@ -116,9 +164,11 @@ def make_train_step(
             metrics.update({f"stats/{k}": v for k, v in s_acc.items()})
             return total, (metrics, radii_max)
 
-        (loss, (metrics, radii_max)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.gauss.params
-        )
+        deltas_in = (state.poses.deltas if pose_on
+                     else jnp.zeros((1, 6), jnp.float32))
+        (loss, (metrics, radii_max)), (grads, grads_pose) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.gauss.params, deltas_in)
 
         # Per-group Adam with the exponentially decayed xyz LR.
         xyz_lr = xyz_lr_schedule(config, state.iteration)
@@ -147,8 +197,29 @@ def make_train_step(
             max_radii2d=jnp.maximum(state.gauss.max_radii2d, radii_max),
         )
 
+        # Pose refinement: per-view se(3) Adam on the batch's views (same
+        # torch-parity Adam form as the gaussian groups; the schedule gate
+        # zeroes both the gradient and the lr before pose_start_iter so the
+        # moments stay untouched until refinement begins).
+        new_poses = state.poses
+        if pose_on:
+            plr = pose_lr_schedule(config, state.iteration)
+            gp = jnp.where(plr > 0.0, grads_pose, 0.0)
+            t = new_opt.step.astype(jnp.float32)
+            c1 = 1.0 - config.adam_b1 ** t
+            c2 = 1.0 - config.adam_b2 ** t
+            mu = config.adam_b1 * state.poses.mu + (1.0 - config.adam_b1) * gp
+            nu = config.adam_b2 * state.poses.nu + (1.0 - config.adam_b2) * gp * gp
+            deltas = state.poses.deltas - plr * (mu / c1) / (
+                jnp.sqrt(nu / c2) + config.adam_eps)
+            new_poses = PoseState(deltas=deltas, mu=mu, nu=nu)
+            metrics["pose_lr"] = plr
+            metrics["grad_norm/poses"] = jnp.linalg.norm(grads_pose)
+            metrics["pose/delta_max"] = jnp.max(jnp.abs(deltas))
+
         new_state = TrainState(
-            gauss=gauss, opt=new_opt, iteration=state.iteration + 1
+            gauss=gauss, opt=new_opt, iteration=state.iteration + 1,
+            poses=new_poses,
         )
         # Per-group gradient norms (reference logs these every scalar
         # interval, ``trainer.py:889-898``).

@@ -289,6 +289,22 @@ class GaussianTrainer:
                 gauss=gauss, opt=adam_init(gauss.params),
                 iteration=jnp.zeros((), jnp.int32),
             )
+
+        # Camera pose refinement: one se(3) delta per dataset view
+        # (validation views never enter a batch, so their rows stay zero).
+        if cfg.optimize_poses and state.poses is None:
+            from gaussian_splatting_tpu.training.step import pose_state_init
+
+            if cfg.mesh_data * cfg.mesh_tile > 1:
+                log.warning("optimize_poses is single-chip only for now; "
+                            "disabling under a mesh")
+                cfg = cfg.replace(optimize_poses=False)
+                self.config = cfg
+            else:
+                state = state._replace(poses=pose_state_init(V))
+                log.info("pose refinement on: %d views, lr %.1e -> %.1e "
+                         "from iter %d", V, cfg.pose_lr_init,
+                         cfg.pose_lr_final, cfg.pose_start_iter)
         log.info("capacity %d, alive %d", state.gauss.capacity, int(state.gauss.n_alive()))
 
         # Adaptive tile-footprint cap: a fixed max_tiles_per_gaussian
@@ -359,6 +375,7 @@ class GaussianTrainer:
                 images=d_images[idx].astype(jnp.float32) / 255.0,
                 viewmats=d_viewmats[idx],
                 Ks=d_Ks[idx],
+                view_idx=idx,
             )
 
         densify_fn = self._densify_fn()
@@ -443,7 +460,9 @@ class GaussianTrainer:
                             state.opt.nu, gauss.params),
                         step=state.opt.step,
                     )
-                    state = TrainState(gauss=gauss, opt=opt, iteration=state.iteration)
+                    state = TrainState(gauss=gauss, opt=opt,
+                                       iteration=state.iteration,
+                                       poses=state.poses)
 
                 key, sub = jax.random.split(key)
                 gauss, (mu, nu), dstats = densify_fn(
@@ -454,6 +473,7 @@ class GaussianTrainer:
                     gauss=gauss,
                     opt=AdamState(mu=mu, nu=nu, step=state.opt.step),
                     iteration=state.iteration,
+                    poses=state.poses,
                 )
                 self._cum["cloned"] += int(dstats.n_cloned)
                 self._cum["split"] += int(dstats.n_split)
@@ -478,6 +498,7 @@ class GaussianTrainer:
                     gauss=dataclasses.replace(
                         state.gauss, params=reset_fn(state.gauss.params)),
                     opt=state.opt, iteration=state.iteration,
+                    poses=state.poses,
                 )
 
             # Scalar logging (trainer.py:862-924 cadence).
@@ -573,7 +594,7 @@ class GaussianTrainer:
                 try:
                     ti = int(train_idx[0])
                     b = gather_batch(jnp.asarray([ti], jnp.int32))
-                    render_one, _ = self._val_render_fn(
+                    render_one, _, _ = self._val_render_fn(
                         sh_deg, width, height, state.gauss.capacity)
                     p = state.gauss.params
                     img = render_one(
@@ -716,7 +737,50 @@ class GaussianTrainer:
                 return (jnp.mean(jnp.abs(img - gt)), ssim_fn(img, gt),
                         psnr_fn(img, gt))
 
-            cache[key] = (render_one, metrics_one)
+            align_one = None
+            if cfg.val_pose_align_steps > 0:
+                from gaussian_splatting_tpu.core.se3 import apply_pose_delta
+
+                b1, b2, eps = cfg.adam_b1, cfg.adam_b2, cfg.adam_eps
+                lr = cfg.val_pose_align_lr
+                n_steps = cfg.val_pose_align_steps
+
+                @jax.jit
+                def align_one(params, masked_op, viewmat, K, gt):
+                    """Test-time pose alignment (config.val_pose_align_steps):
+                    Adam on a single se(3) delta, gaussians frozen — the
+                    eval protocol for jointly-optimized poses (BARF/CamP);
+                    gradients ride the same projection autodiff as training."""
+
+                    def loss(xi):
+                        out = render(
+                            params.means, params.quats, params.log_scales,
+                            masked_op, params.sh_coeffs,
+                            apply_pose_delta(viewmat, xi), K, width, height,
+                            sh_degree=sh_degree, backend=self.backend,
+                            tile_size=cfg.tile_size, isect_capacity=cap,
+                            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+                            raster_chunk=cfg.raster_chunk,
+                            class_budgets=cfg.class_budgets,
+                            rasterize_mode=cfg.rasterize_mode,
+                        )
+                        return jnp.mean(jnp.abs(jnp.clip(out.render, 0, 1) - gt))
+
+                    def body(i, carry):
+                        xi, mu, nu = carry
+                        g = jax.grad(loss)(xi)
+                        t = i.astype(jnp.float32) + 1.0
+                        mu = b1 * mu + (1.0 - b1) * g
+                        nu = b2 * nu + (1.0 - b2) * g * g
+                        xi = xi - lr * (mu / (1.0 - b1 ** t)) / (
+                            jnp.sqrt(nu / (1.0 - b2 ** t)) + eps)
+                        return xi, mu, nu
+
+                    z = jnp.zeros((6,), jnp.float32)
+                    xi, _, _ = jax.lax.fori_loop(0, n_steps, body, (z, z, z))
+                    return apply_pose_delta(viewmat, xi)
+
+            cache[key] = (render_one, metrics_one, align_one)
         return cache[key]
 
     def validate(self, state, gather_batch, val_idx, sh_degree, width, height):
@@ -724,11 +788,12 @@ class GaussianTrainer:
             return None
         p = state.gauss.params
         alive = state.gauss.alive
-        render_one, metrics_one = self._val_render_fn(
+        render_one, metrics_one, align_one = self._val_render_fn(
             sh_degree, width, height, state.gauss.capacity)
 
         masked_op = p.masked_opacities(alive)
         l1s, ssims, psnrs = [], [], []
+        psnrs_aligned = []
         panels = []
         for i in val_idx:
             b = gather_batch(jnp.asarray([int(i)], jnp.int32))
@@ -738,6 +803,12 @@ class GaussianTrainer:
             l1s.append(float(l1))
             ssims.append(float(s))
             psnrs.append(float(ps))
+            if align_one is not None:
+                vm_aligned = align_one(p, masked_op, b.viewmats[0], b.Ks[0], gt)
+                img_a = render_one(p, masked_op, vm_aligned, b.Ks[0])
+                _, _, ps_a = metrics_one(img_a, gt)
+                psnrs_aligned.append(float(ps_a))
+                img = img_a  # gallery shows the aligned render
             panels.append(np.concatenate([np.asarray(img), np.asarray(gt)],
                                          axis=1))
         if panels and self.logger is not None:
@@ -749,9 +820,12 @@ class GaussianTrainer:
                 self.logger.log_image("val/gallery",
                                       np.concatenate(panels, axis=0),
                                       step=int(state.iteration))
-        return {
+        out = {
             "val/l1": float(np.mean(l1s)),
             "val/ssim": float(np.mean(ssims)),
             "val/psnr": float(np.mean(psnrs)),
             "val/n_views": len(val_idx),
         }
+        if psnrs_aligned:
+            out["val/psnr_aligned"] = float(np.mean(psnrs_aligned))
+        return out
