@@ -27,6 +27,9 @@ def load_model(path: str):
 
     if path.endswith(".npz"):
         state, meta = load_checkpoint(path)
+        if state.poses is not None:
+            meta = dict(meta)
+            meta["pose_deltas"] = np.asarray(state.poses.deltas)
         return state.gauss, meta
     if path.endswith(".pth"):
         return load_reference_pth(path), {}
@@ -67,6 +70,13 @@ def main(argv=None) -> int:
     p.add_argument("--use-sfm-cache", action="store_true", default=True)
     p.add_argument("--backend", choices=["auto", "pallas", "ref"], default="auto")
     p.add_argument("--cache-dir", default="./cache")
+    p.add_argument("--pose-align", type=int, default=0, metavar="STEPS",
+                   help="test-time pose alignment: optimize one se(3) delta "
+                        "per evaluated view (gaussians frozen) for STEPS Adam "
+                        "steps before scoring — the BARF/CamP eval protocol "
+                        "for models whose train poses were refined; reports "
+                        "psnr_aligned next to the raw psnr")
+    p.add_argument("--pose-align-lr", type=float, default=3e-3)
     args = p.parse_args(argv)
 
     from gaussian_splatting_tpu.utils.cache import enable_compile_cache
@@ -133,16 +143,71 @@ def main(argv=None) -> int:
                    rasterize_mode=rasterize_mode)
         return jnp.clip(o.render, 0.0, 1.0)
 
+    # A model trained with --optimize-poses lives in its refined-pose gauge:
+    # apply the checkpointed per-view deltas when this dataset is the same
+    # one it trained on (same SfM cache -> same view count/order).
+    viewmats = np.asarray(ds.viewmats)
+    deltas = meta.get("pose_deltas") if isinstance(meta, dict) else None
+    if deltas is not None and len(deltas) == V:
+        from gaussian_splatting_tpu.core.se3 import se3_exp
+
+        viewmats = np.asarray(se3_exp(jnp.asarray(deltas))) @ viewmats
+        log.info("applied %d checkpointed train-pose deltas "
+                 "(max |delta| %.2e)", V, float(np.abs(deltas).max()))
+    elif deltas is not None:
+        log.warning("checkpoint has %d pose deltas but dataset has %d views "
+                    "— not applied", len(deltas), V)
+
+    align_view = None
+    if args.pose_align > 0:
+        from gaussian_splatting_tpu.core.se3 import apply_pose_delta
+
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        lr, n_steps = args.pose_align_lr, args.pose_align
+
+        @jax.jit
+        def align_view(viewmat, K, gt):
+            def loss(xi):
+                o = render(params.means, params.quats, params.log_scales,
+                           masked_op, params.sh_coeffs,
+                           apply_pose_delta(viewmat, xi), K, width, height,
+                           sh_degree=sh_degree, backend=backend,
+                           tile_size=tile_size, raster_chunk=raster_chunk,
+                           max_tiles_per_gaussian=max_tiles,
+                           class_budgets=budgets,
+                           isect_capacity=cap_mult * params.capacity,
+                           rasterize_mode=rasterize_mode)
+                return jnp.mean(jnp.abs(jnp.clip(o.render, 0, 1) - gt))
+
+            def body(t, carry):
+                xi, mu, nu = carry
+                g = jax.grad(loss)(xi)
+                tf = t.astype(jnp.float32) + 1.0
+                mu = b1 * mu + (1.0 - b1) * g
+                nu = b2 * nu + (1.0 - b2) * g * g
+                xi = xi - lr * (mu / (1.0 - b1 ** tf)) / (
+                    jnp.sqrt(nu / (1.0 - b2 ** tf)) + eps)
+                return xi, mu, nu
+
+            z = jnp.zeros((6,), jnp.float32)
+            xi, _, _ = jax.lax.fori_loop(0, n_steps, body, (z, z, z))
+            return apply_pose_delta(viewmat, xi)
+
     rows = []
     for i in sel:
-        img = render_view(jnp.asarray(ds.viewmats[i]), jnp.asarray(ds.Ks[i]))
         gt = jnp.asarray(ds.images[i], jnp.float32) / 255.0
+        vm = jnp.asarray(viewmats[i])
+        K = jnp.asarray(ds.Ks[i])
+        img = render_view(vm, K)
         m = {
             "view": int(i),
             "l1": float(jnp.mean(jnp.abs(img - gt))),
             "ssim": float(ssim_fn(img, gt)),
             "psnr": float(psnr_fn(img, gt)),
         }
+        if align_view is not None:
+            img = render_view(align_view(vm, K, gt), K)
+            m["psnr_aligned"] = float(psnr_fn(img, gt))
         rows.append(m)
         side = np.concatenate([np.asarray(img), np.asarray(gt)], axis=1)
         Image.fromarray((side * 255).astype(np.uint8)).save(
@@ -156,9 +221,12 @@ def main(argv=None) -> int:
         "psnr": float(np.mean([r["psnr"] for r in rows])),
         "per_view": rows,
     }
+    if rows and "psnr_aligned" in rows[0]:
+        summary["psnr_aligned"] = float(
+            np.mean([r["psnr_aligned"] for r in rows]))
     with open(out / "metrics.json", "w") as f:
         json.dump(summary, f, indent=2)
-    print(json.dumps({k: summary[k] for k in ("num_views", "l1", "ssim", "psnr")}))
+    print(json.dumps({k: summary[k] for k in summary if k != "per_view"}))
     return 0
 
 
