@@ -167,6 +167,10 @@ def main(argv=None) -> int:
 
         @jax.jit
         def align_view(viewmat, K, gt):
+            # MSE objective (what PSNR scores) + best-visited tracking: an
+            # unguarded Adam loop random-walks on weak gradients and can
+            # end WORSE than the identity; returning the best visited delta
+            # (xi = 0 is evaluated first) makes alignment no-harm.
             def loss(xi):
                 o = render(params.means, params.quats, params.log_scales,
                            masked_op, params.sh_coeffs,
@@ -177,21 +181,26 @@ def main(argv=None) -> int:
                            class_budgets=budgets,
                            isect_capacity=cap_mult * params.capacity,
                            rasterize_mode=rasterize_mode)
-                return jnp.mean(jnp.abs(jnp.clip(o.render, 0, 1) - gt))
+                d = jnp.clip(o.render, 0, 1) - gt
+                return jnp.mean(d * d)
 
             def body(t, carry):
-                xi, mu, nu = carry
-                g = jax.grad(loss)(xi)
+                xi, mu, nu, best_xi, best_l = carry
+                l, g = jax.value_and_grad(loss)(xi)
+                better = l < best_l
+                best_xi = jnp.where(better, xi, best_xi)
+                best_l = jnp.where(better, l, best_l)
                 tf = t.astype(jnp.float32) + 1.0
                 mu = b1 * mu + (1.0 - b1) * g
                 nu = b2 * nu + (1.0 - b2) * g * g
                 xi = xi - lr * (mu / (1.0 - b1 ** tf)) / (
                     jnp.sqrt(nu / (1.0 - b2 ** tf)) + eps)
-                return xi, mu, nu
+                return xi, mu, nu, best_xi, best_l
 
             z = jnp.zeros((6,), jnp.float32)
-            xi, _, _ = jax.lax.fori_loop(0, n_steps, body, (z, z, z))
-            return apply_pose_delta(viewmat, xi)
+            init = (z, z, z, z, jnp.float32(jnp.inf))
+            *_, best_xi, _ = jax.lax.fori_loop(0, n_steps, body, init)
+            return apply_pose_delta(viewmat, best_xi)
 
     rows = []
     for i in sel:

@@ -750,7 +750,12 @@ class GaussianTrainer:
                     """Test-time pose alignment (config.val_pose_align_steps):
                     Adam on a single se(3) delta, gaussians frozen — the
                     eval protocol for jointly-optimized poses (BARF/CamP);
-                    gradients ride the same projection autodiff as training."""
+                    gradients ride the same projection autodiff as training.
+                    The objective is MSE (what PSNR scores) and the returned
+                    delta is the best one VISITED, not the last — Adam's
+                    scale-invariant steps random-walk when the photometric
+                    gradient is weak (early training, blurry models), and an
+                    unguarded loop measurably WORSENED val PSNR."""
 
                     def loss(xi):
                         out = render(
@@ -764,21 +769,26 @@ class GaussianTrainer:
                             class_budgets=cfg.class_budgets,
                             rasterize_mode=cfg.rasterize_mode,
                         )
-                        return jnp.mean(jnp.abs(jnp.clip(out.render, 0, 1) - gt))
+                        d = jnp.clip(out.render, 0, 1) - gt
+                        return jnp.mean(d * d)
 
                     def body(i, carry):
-                        xi, mu, nu = carry
-                        g = jax.grad(loss)(xi)
+                        xi, mu, nu, best_xi, best_l = carry
+                        l, g = jax.value_and_grad(loss)(xi)
+                        better = l < best_l
+                        best_xi = jnp.where(better, xi, best_xi)
+                        best_l = jnp.where(better, l, best_l)
                         t = i.astype(jnp.float32) + 1.0
                         mu = b1 * mu + (1.0 - b1) * g
                         nu = b2 * nu + (1.0 - b2) * g * g
                         xi = xi - lr * (mu / (1.0 - b1 ** t)) / (
                             jnp.sqrt(nu / (1.0 - b2 ** t)) + eps)
-                        return xi, mu, nu
+                        return xi, mu, nu, best_xi, best_l
 
                     z = jnp.zeros((6,), jnp.float32)
-                    xi, _, _ = jax.lax.fori_loop(0, n_steps, body, (z, z, z))
-                    return apply_pose_delta(viewmat, xi)
+                    init = (z, z, z, z, jnp.float32(jnp.inf))
+                    *_, best_xi, _ = jax.lax.fori_loop(0, n_steps, body, init)
+                    return apply_pose_delta(viewmat, best_xi)
 
             cache[key] = (render_one, metrics_one, align_one)
         return cache[key]
