@@ -112,14 +112,20 @@ def main():
     from gaussian_splatting_tpu.utils.profiling import time_fn_device
 
     def fwd_bwd(s, m, c2, col, o, dd, r):
+        # The measured workload is RGB training: a photometric loss over the
+        # color+alpha outputs, no depth cotangent — matching the reference's
+        # gsplat RGB mode, whose CUDA backward computes no depth gradients
+        # either (render_mode="RGB", gsplat_backend.py:168-182).
+        # depth_grad=False lets the backward reduce drop the (all-zero)
+        # ddepth sort payload, exactly like the training step does.
         def loss2(m, c2, col, o, dd):
             img, alpha, depth = rasterize_tiled(
                 m * s, c2, col, o, dd, r, width, height,
                 tile_size=16, isect_capacity=cap, chunk=chunk,
                 max_tiles_per_gaussian=max_t, class_budgets=budgets,
-                interpret=not on_tpu,
+                interpret=not on_tpu, depth_grad=False,
             )
-            return jnp.sum(img) + jnp.sum(alpha) + 0.01 * jnp.sum(depth)
+            return jnp.sum(img) + jnp.sum(alpha)
         return jax.grad(loss2, argnums=(0, 1, 2, 3, 4))(m, c2, col, o, dd)
 
     dt = time_fn_device(fwd_bwd, args + (radii,), reps=6)

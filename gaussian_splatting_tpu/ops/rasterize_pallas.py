@@ -444,7 +444,7 @@ def _bwd_kernel(starts_ref, counts_ref, soa_ref, aux_ref, grad_ref, meta_ref,
 @functools.lru_cache(maxsize=None)
 def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
                grad_cap_mult=8, class_budgets=None, depth_bits=0,
-               grad_frac=1.0):
+               grad_frac=1.0, depth_grad=True):
     P = ts * ts
     T = ntx * nty
     n_slots = total_slots(N, max_t, class_budgets)
@@ -552,7 +552,7 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
         aux = jnp.concatenate([g, out], axis=1)  # (T, 16, P)
         grad_padded, meta = bwd_call(tile_starts, counts, soa, aux)
         gr = reduce_padded_grads(grad_padded, N, meta[0, 0],
-                                 interpret=interpret)
+                                 interpret=interpret, with_depth=depth_grad)
         d_means2d = jnp.stack([gr["dmx"], gr["dmy"]], axis=-1)
         d_conics = jnp.stack([gr["dca"], gr["dcb"], gr["dcc"]], axis=-1)
         d_colors = jnp.stack([gr["dr"], gr["dg"], gr["db"]], axis=-1)
@@ -597,6 +597,7 @@ def rasterize_tiled(
     grad_buffer_frac=1.0,
     interpret=None,
     with_stats=False,
+    depth_grad=True,
 ):
     """Full tiled rasterization: payload-sort binning (XLA) + Pallas fwd/bwd.
 
@@ -605,6 +606,10 @@ def rasterize_tiled(
     ``with_stats`` — differentiable w.r.t. the gaussian inputs with analytic
     kernel gradients. ``class_budgets`` selects the compact footprint-class
     binning (see ``tiling.isect_and_sort``).
+
+    ``depth_grad=False`` declares that the caller never differentiates the
+    depth output (a photometric-only loss): d_depths comes back zero and the
+    backward reduce drops one sort payload (~4 ms at the 1M bench).
     """
     N = means2d.shape[0]
     ts = tile_size
@@ -619,7 +624,8 @@ def rasterize_tiled(
     core = _make_core(ts, ntx, nty, chunk, N, max_tiles_per_gaussian,
                       width, height, bool(interpret),
                       class_budgets=class_budgets, depth_bits=int(depth_bits),
-                      grad_frac=float(grad_buffer_frac))
+                      grad_frac=float(grad_buffer_frac),
+                      depth_grad=bool(depth_grad))
     out, n_isect, n_dropped, n_budget_dropped, n_grad_dropped = core(
         means2d, conics, colors, opacities, depths, radii)
 

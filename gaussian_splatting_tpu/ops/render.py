@@ -55,6 +55,7 @@ def render(
     grad_buffer_frac: float = 1.0,
     rasterize_mode: str = "classic",
     with_stats: bool = False,
+    depth_grad: bool = True,
 ) -> RenderOut:
     """Render one view.
 
@@ -64,6 +65,9 @@ def render(
     ``rasterize_mode="antialiased"`` multiplies opacity by the covariance
     compensation factor (gsplat's antialiased mode; differentiable through
     the pure-JAX projection).
+    ``depth_grad=False`` (pallas backend): caller promises never to
+    differentiate the depth output — RenderOut.depth still renders, but its
+    cotangent is treated as zero, saving one backward sort payload.
     """
     scales = scale_activation(log_scales)
     opac = opacity_activation(logit_opacities.reshape(-1))
@@ -104,6 +108,7 @@ def render(
             class_budgets=class_budgets, depth_bits=depth_bits,
             grad_buffer_frac=grad_buffer_frac,
             with_stats=with_stats,
+            depth_grad=depth_grad,
         )
         if with_stats:
             image, alpha_img, depth_img, stats = res

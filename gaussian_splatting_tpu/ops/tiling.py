@@ -385,6 +385,57 @@ def pack_soa(quantity_rows, pad: int, interpret: Optional[bool] = None):
     return call(*(q.reshape(1, M) for q in quantity_rows))
 
 
+def _pack_rows_kernel(*refs, C, M, R, sentinel):
+    """Pack R sorted (1, C) row blocks into a (16, C) block: row 0 = segment
+    key (columns past M get ``sentinel`` so the ascending-key invariant the
+    segsum sweep relies on survives the pad), rows 1..R-1 = payloads (pad
+    zeros), rows R..15 = zeros."""
+    ins, out = refs[:-1], refs[-1]
+    b = pl.program_id(0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1) + b * C
+    ok = col < M
+    out[0:1, :] = jnp.where(ok, ins[0][...], sentinel)
+    for i in range(1, R):
+        out[i:i + 1, :] = jnp.where(ok, ins[i][...], 0.0)
+    out[R:16, :] = jnp.zeros((16 - R, C), jnp.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pack_rows(M, R, sentinel, interpret):
+    C = _PACK_C
+    Mout = cdiv(M, C) * C
+    n_in_blocks = cdiv(M, C)
+
+    def in_map(b):
+        return (0, jnp.minimum(b, n_in_blocks - 1))
+
+    return pl.pallas_call(
+        functools.partial(_pack_rows_kernel, C=C, M=M, R=R, sentinel=sentinel),
+        grid=(Mout // C,),
+        in_specs=[pl.BlockSpec((1, C), in_map, memory_space=pltpu.VMEM)
+                  for _ in range(R)],
+        out_specs=pl.BlockSpec((16, C), lambda b: (0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((16, Mout), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def pack_rows(rows, sentinel: float, interpret: Optional[bool] = None):
+    """Pack R <= 16 sorted (M,) arrays (row 0 = ascending segment key) into
+    the (16, >= M) segsum-ready buffer with one bandwidth-bound Pallas pass.
+    ``jnp.stack`` + ``jnp.concatenate`` here lowered to ~10 ms of strided
+    copies at the 1M-gaussian bench (same pathology pack_soa fixed in
+    binning); this pass is a straight bandwidth copy."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    R = len(rows)
+    assert 1 <= R <= 16
+    M = rows[0].shape[0]
+    call = _make_pack_rows(M, R, float(sentinel), bool(interpret))
+    return call(*(q.reshape(1, M) for q in rows))
+
+
 def isect_and_sort(
     means2d: jnp.ndarray,
     conics: jnp.ndarray,
@@ -597,7 +648,8 @@ def isect_and_sort(
 
 
 def reduce_padded_grads(grad_soa: jnp.ndarray, n_gaussians: int,
-                        n_written: jnp.ndarray, interpret=None):
+                        n_written: jnp.ndarray, interpret=None,
+                        with_depth: bool = True):
     """Per-gaussian gradient reduction — sort-based, scatter-free.
 
     grad_soa: (16, pcap) backward-kernel output; row 11 carries the gaussian
@@ -610,22 +662,28 @@ def reduce_padded_grads(grad_soa: jnp.ndarray, n_gaussians: int,
     into its output column (``segsum.segment_sum_sorted``). Round 1 used
     cumsum + searchsorted + take here; the searchsorted alone cost more
     than the sort (see segsum.py).
+
+    ``with_depth=False`` drops the ddepth payload from the sort (each sort
+    operand costs ~4.3 ms at the 1M bench) and returns zero ddepth — valid
+    whenever the caller guarantees the depth output has no cotangent (the
+    photometric training step; see rasterize_tiled(depth_grad=False)).
     """
     from gaussian_splatting_tpu.ops.segsum import segment_sum_sorted
 
     pcap = grad_soa.shape[1]
+    n_pay = 10 if with_depth else 9
     pos_ok = jnp.arange(pcap) < n_written
     key = jnp.where(pos_ok, grad_soa[11], float(n_gaussians))
-    payloads = tuple(jnp.where(pos_ok, grad_soa[i], 0.0) for i in range(10))
+    payloads = tuple(jnp.where(pos_ok, grad_soa[i], 0.0) for i in range(n_pay))
     sorted_ops = jax.lax.sort((key,) + payloads, num_keys=1)
-    stacked = jnp.concatenate(
-        [jnp.stack(sorted_ops, axis=0),
-         jnp.zeros((5, pcap), jnp.float32)], axis=0)          # (16, pcap)
+    stacked = pack_rows(sorted_ops, sentinel=float(n_gaussians),
+                        interpret=interpret)
     sums = segment_sum_sorted(stacked, n_gaussians, interpret=interpret)
     return {
         "dmx": sums[1], "dmy": sums[2],
         "dca": sums[3], "dcb": sums[4], "dcc": sums[5],
         "dop": sums[6],
         "dr": sums[7], "dg": sums[8], "db": sums[9],
-        "ddepth": sums[10],
+        "ddepth": sums[10] if with_depth
+        else jnp.zeros((n_gaussians,), jnp.float32),
     }

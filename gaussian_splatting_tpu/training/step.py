@@ -133,6 +133,10 @@ def make_train_step(
                     grad_buffer_frac=config.grad_buffer_frac,
                     rasterize_mode=config.rasterize_mode,
                     with_stats=want_stats,
+                    # The training loss is photometric (L1 + DSSIM on RGB):
+                    # the depth channel never gets a cotangent, so the
+                    # backward reduce can drop its sort payload.
+                    depth_grad=False,
                 )
                 radii_max = jnp.maximum(radii_max, jax.lax.stop_gradient(out.radii))
                 l, m = photometric_loss(out.render, image, config.lambda_dssim)

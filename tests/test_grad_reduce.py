@@ -34,6 +34,62 @@ def test_reduce_matches_direct_sum(rng):
                                    err_msg=k)
 
 
+def test_reduce_without_depth_payload(rng):
+    """with_depth=False (the photometric training step, which never
+    differentiates the depth channel) must reproduce every non-depth sum
+    bit-for-bit — the dropped sort payload cannot perturb the others — and
+    return exactly zero ddepth."""
+    N, pcap = 500, 20_000
+    n_written = 18_000
+    ids = rng.integers(0, N, size=(pcap,)).astype(np.float32)
+    grads = np.zeros((16, pcap), np.float32)
+    grads[:10] = rng.normal(size=(10, pcap)).astype(np.float32)
+    grads[11] = ids
+    grads[:10, n_written:] = np.nan
+
+    full = reduce_padded_grads(jnp.asarray(grads), N, jnp.int32(n_written))
+    slim = reduce_padded_grads(jnp.asarray(grads), N, jnp.int32(n_written),
+                               with_depth=False)
+    for k in ["dmx", "dmy", "dca", "dcb", "dcc", "dop", "dr", "dg", "db"]:
+        np.testing.assert_array_equal(np.asarray(full[k]),
+                                      np.asarray(slim[k]), err_msg=k)
+    assert (np.asarray(slim["ddepth"]) == 0).all()
+
+
+def test_rasterize_depth_grad_flag(rng):
+    """rasterize_tiled(depth_grad=False): identical non-depth gradients to
+    the default path, zero d_depths — valid because the test loss (like the
+    training loss) never reads the depth output."""
+    import jax
+
+    from gaussian_splatting_tpu.ops.rasterize_pallas import rasterize_tiled
+
+    N, W, H = 200, 64, 64
+    means2d = jnp.asarray(rng.uniform([0, 0], [W, H], size=(N, 2)), jnp.float32)
+    conics = jnp.asarray(
+        np.stack([np.full(N, 0.15), np.zeros(N), np.full(N, 0.15)], 1),
+        jnp.float32)
+    colors = jnp.asarray(rng.uniform(size=(N, 3)), jnp.float32)
+    opac = jnp.asarray(rng.uniform(0.3, 0.9, size=(N,)), jnp.float32)
+    depths = jnp.asarray(rng.uniform(1, 10, size=(N,)), jnp.float32)
+    radii = jnp.full((N,), 8, jnp.int32)
+
+    def loss(m, c, col, o, d, depth_grad):
+        img, alpha, _ = rasterize_tiled(m, c, col, o, d, radii, W, H,
+                                        depth_grad=depth_grad)
+        return jnp.sum(img * img) + jnp.sum(alpha)
+
+    g_full = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        means2d, conics, colors, opac, depths, True)
+    g_slim = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        means2d, conics, colors, opac, depths, False)
+    for a, b, name in zip(g_full, g_slim,
+                          ["means2d", "conics", "colors", "opac", "depths"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+    assert (np.asarray(g_slim[4]) == 0).all()
+
+
 def test_reduce_empty_segments(rng):
     """Gaussians with no entries get exactly zero gradients."""
     N, pcap = 100, 4096
