@@ -69,7 +69,6 @@ def main():
     depths = jnp.asarray(rng.uniform(1, 10, size=(n,)), jnp.float32)
     radii = jnp.asarray(np.ceil(3 * np.maximum(sx, sy)), jnp.int32)
 
-    cap = None
     chunk = 256
     max_t = 16
 
@@ -121,7 +120,7 @@ def main():
         def loss2(m, c2, col, o, dd):
             img, alpha, depth = rasterize_tiled(
                 m * s, c2, col, o, dd, r, width, height,
-                tile_size=16, isect_capacity=cap, chunk=chunk,
+                tile_size=16, chunk=chunk,
                 max_tiles_per_gaussian=max_t, class_budgets=budgets,
                 interpret=not on_tpu, depth_grad=False,
             )

@@ -67,7 +67,7 @@ def main():
         rng.uniform(0.05, 0.95, (n_gauss, 3)), n_gauss, capacity=n_gauss)
     ts = TrainState(gauss=state0, opt=adam_init(state0.params),
                     iteration=jnp.zeros((), jnp.int32))
-    step = make_train_step(cfg, width, height, 0, backend, None, 2.4, donate=True)
+    step = make_train_step(cfg, width, height, 0, backend, 2.4, donate=True)
 
     batch_rng = np.random.default_rng(1)
     d_imgs = jnp.asarray(images)

@@ -76,7 +76,7 @@ def main():
         cfg = TrainingConfig(batch_size=B, backend=backend)
         mesh = make_mesh(data=d, model=m)
         step, band_h, h_pad = make_sharded_train_step(
-            cfg, mesh, side, side, 0, backend, None, 2.0, donate=False)
+            cfg, mesh, side, side, 0, backend, 2.0, donate=False)
         images = jnp.asarray(rng.uniform(size=(B, side, side, 3)), jnp.float32)
         vm = jnp.tile(jnp.eye(4, dtype=jnp.float32).at[2, 3].set(4.0)[None], (B, 1, 1))
         K = jnp.tile(jnp.asarray(

@@ -123,8 +123,9 @@ def main(argv=None) -> int:
     raster_chunk = int(rmeta.get("raster_chunk", 256))
     max_tiles = int(rmeta.get("max_tiles_per_gaussian", 16))
     sh_degree = int(rmeta.get("sh_degree_max", 3))
-    cap_mult = int(rmeta.get("isect_capacity_mult", 4))
     rasterize_mode = str(rmeta.get("rasterize_mode", "classic"))
+    sort_buckets = int(rmeta.get("sort_buckets", 0))
+    bucket_headroom = float(rmeta.get("partition_headroom", 1.15))
     budgets = rmeta.get("class_budgets")
     budgets = tuple(int(b) for b in budgets) if budgets else None
     if rmeta:
@@ -139,7 +140,7 @@ def main(argv=None) -> int:
                    sh_degree=sh_degree, backend=backend,
                    tile_size=tile_size, raster_chunk=raster_chunk,
                    max_tiles_per_gaussian=max_tiles, class_budgets=budgets,
-                   isect_capacity=cap_mult * params.capacity,
+                   sort_buckets=sort_buckets, bucket_headroom=bucket_headroom,
                    rasterize_mode=rasterize_mode)
         return jnp.clip(o.render, 0.0, 1.0)
 
@@ -179,7 +180,8 @@ def main(argv=None) -> int:
                            tile_size=tile_size, raster_chunk=raster_chunk,
                            max_tiles_per_gaussian=max_tiles,
                            class_budgets=budgets,
-                           isect_capacity=cap_mult * params.capacity,
+                           sort_buckets=sort_buckets,
+                           bucket_headroom=bucket_headroom,
                            rasterize_mode=rasterize_mode)
                 d = jnp.clip(o.render, 0, 1) - gt
                 return jnp.mean(d * d)

@@ -390,12 +390,14 @@ def _bwd_kernel(starts_ref, counts_ref, soa_ref, aux_ref, grad_ref, meta_ref,
 
         gid = jnp.where(valid, data[11:12, :], float(n_gaussians))
 
+        # Key-first layout (row 0 = gid, rows 1..10 = gradients): the
+        # sort-based reduce AND the bucket-partition reduce both key on
+        # row 0 (tiling.reduce_padded_grads).
         gblock = jnp.concatenate([
+            gid,
             dmx, dmy, dca, dcb, dcc, dop,
             d_extras[0:4, :],                          # dr, dg, db, ddepth
-            jnp.zeros((1, chunk), jnp.float32),
-            gid,
-            jnp.zeros((4, chunk), jnp.float32),
+            jnp.zeros((5, chunk), jnp.float32),
         ], axis=0)                                     # (16, chunk)
         append(gblock, jnp.minimum(count - i * chunk, chunk))
 
@@ -419,9 +421,8 @@ def _bwd_kernel(starts_ref, counts_ref, soa_ref, aux_ref, grad_ref, meta_ref,
     def _():
         c = smem[0]
         sent = jnp.concatenate([
-            jnp.zeros((11, chunk), jnp.float32),
             jnp.full((1, chunk), float(n_gaussians), jnp.float32),
-            jnp.zeros((4, chunk), jnp.float32),
+            jnp.zeros((15, chunk), jnp.float32),
         ], axis=0)
 
         @pl.when(c > 0)
@@ -444,7 +445,8 @@ def _bwd_kernel(starts_ref, counts_ref, soa_ref, aux_ref, grad_ref, meta_ref,
 @functools.lru_cache(maxsize=None)
 def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
                grad_cap_mult=8, class_budgets=None, depth_bits=0,
-               grad_frac=1.0, depth_grad=True):
+               grad_frac=1.0, depth_grad=True, sort_buckets=0,
+               bucket_headroom=1.15):
     P = ts * ts
     T = ntx * nty
     n_slots = total_slots(N, max_t, class_budgets)
@@ -524,26 +526,28 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
         compact mode (grad_cap >= n_slots + chunk >= any n_written)."""
         return jnp.maximum(n_isect + jnp.int32(chunk) - jnp.int32(grad_cap), 0)
 
-    @jax.custom_vjp
-    def core(means2d, conics, colors, opacities, depths, radii):
-        b = isect_and_sort(
+    def _binned(means2d, conics, colors, opacities, depths, radii):
+        return isect_and_sort(
             means2d, conics, colors, opacities, depths, radii,
             width, height, ts, chunk, max_t, class_budgets=class_budgets,
-            depth_bits=depth_bits, interpret=interpret,
+            depth_bits=depth_bits, sort_buckets=sort_buckets,
+            bucket_headroom=bucket_headroom, interpret=interpret,
         )
+
+    @jax.custom_vjp
+    def core(means2d, conics, colors, opacities, depths, radii):
+        b = _binned(means2d, conics, colors, opacities, depths, radii)
         out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
-        return (out, b.n_isect, b.n_dropped, b.n_budget_dropped,
+        return (out, b.n_isect, b.n_dropped,
+                b.n_budget_dropped + b.n_bucket_dropped,
                 _grad_drop_bound(b.n_isect))
 
     def fwd(means2d, conics, colors, opacities, depths, radii):
-        b = isect_and_sort(
-            means2d, conics, colors, opacities, depths, radii,
-            width, height, ts, chunk, max_t, class_budgets=class_budgets,
-            depth_bits=depth_bits, interpret=interpret,
-        )
+        b = _binned(means2d, conics, colors, opacities, depths, radii)
         out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
         res = (b.sorted_soa, b.tile_starts, b.counts, out)
-        return (out, b.n_isect, b.n_dropped, b.n_budget_dropped,
+        return (out, b.n_isect, b.n_dropped,
+                b.n_budget_dropped + b.n_bucket_dropped,
                 _grad_drop_bound(b.n_isect)), res
 
     def bwd(res, cts):
@@ -552,7 +556,9 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
         aux = jnp.concatenate([g, out], axis=1)  # (T, 16, P)
         grad_padded, meta = bwd_call(tile_starts, counts, soa, aux)
         gr = reduce_padded_grads(grad_padded, N, meta[0, 0],
-                                 interpret=interpret, with_depth=depth_grad)
+                                 interpret=interpret, with_depth=depth_grad,
+                                 sort_buckets=sort_buckets,
+                                 bucket_headroom=bucket_headroom)
         d_means2d = jnp.stack([gr["dmx"], gr["dmy"]], axis=-1)
         d_conics = jnp.stack([gr["dca"], gr["dcb"], gr["dcc"]], axis=-1)
         d_colors = jnp.stack([gr["dr"], gr["dg"], gr["db"]], axis=-1)
@@ -562,16 +568,29 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
         """Exact gradient-buffer occupancy: run binning + forward + one
         backward sweep (unit cotangents — occupancy depends only on segment
         counts and early termination, not on the cotangent values) and
-        return the kernel's (n_written, n_dropped) meta."""
-        b = isect_and_sort(
-            means2d, conics, colors, opacities, depths, radii,
-            width, height, ts, chunk, max_t, class_budgets=class_budgets,
-            depth_bits=depth_bits, interpret=interpret,
-        )
+        return the kernel's (n_written, n_dropped) meta. With the bucketed
+        reduce, n_dropped additionally counts reduce-bucket overflow (the
+        same remedy applies: the trainer raises grad_buffer_frac, which
+        grows grad_cap and with it every bucket's capacity)."""
+        b = _binned(means2d, conics, colors, opacities, depths, radii)
         out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
         aux = jnp.concatenate([jnp.ones_like(out), out], axis=1)
-        _, meta = bwd_call(b.tile_starts, b.counts, b.sorted_soa, aux)
-        return meta[0, 0], meta[0, 1], jnp.int32(grad_cap)
+        grad_padded, meta = bwd_call(b.tile_starts, b.counts, b.sorted_soa,
+                                     aux)
+        n_drop = meta[0, 1]
+        if sort_buckets:
+            from gaussian_splatting_tpu.ops.tiling import partition_grads
+
+            B = int(sort_buckets)
+            Nb = cdiv(N, B)
+            C = 256 if grad_cap % 256 == 0 else 128
+            cap = cdiv(int(grad_cap * bucket_headroom) // B, C) * C
+            sentinels = tuple(float(Nb * B + k) for k in range(B))
+            _, _, drops_b = partition_grads(
+                grad_padded, (cap,) * B, B, sentinels, meta[0, 0], C,
+                interpret)
+            n_drop = n_drop + jnp.sum(drops_b)
+        return meta[0, 0], n_drop, jnp.int32(grad_cap)
 
     core.defvjp(fwd, bwd)
     core.probe_meta = probe_meta
@@ -589,12 +608,13 @@ def rasterize_tiled(
     height,
     bg=None,
     tile_size=16,
-    isect_capacity=None,   # kept for API compat; capacity is static
     chunk=256,
     max_tiles_per_gaussian=16,
     class_budgets=None,
     depth_bits=0,
     grad_buffer_frac=1.0,
+    sort_buckets=0,
+    bucket_headroom=1.15,
     interpret=None,
     with_stats=False,
     depth_grad=True,
@@ -610,6 +630,13 @@ def rasterize_tiled(
     ``depth_grad=False`` declares that the caller never differentiates the
     depth output (a photometric-only loss): d_depths comes back zero and the
     backward reduce drops one sort payload (~4 ms at the 1M bench).
+
+    ``sort_buckets = B > 0`` (power of two) routes BOTH the binning sort and
+    the gradient-reduce sort through the Pallas bucket partition + batched
+    per-bucket sorts (see tiling.isect_and_sort / reduce_padded_grads) —
+    the flat 4M+-entry XLA sorts were 52% of the round-2 step. Bucket
+    overflow is counted: binning drops fold into the n_budget_dropped stat;
+    reduce drops surface through rasterize_grad_meta.
     """
     N = means2d.shape[0]
     ts = tile_size
@@ -625,7 +652,9 @@ def rasterize_tiled(
                       width, height, bool(interpret),
                       class_budgets=class_budgets, depth_bits=int(depth_bits),
                       grad_frac=float(grad_buffer_frac),
-                      depth_grad=bool(depth_grad))
+                      depth_grad=bool(depth_grad),
+                      sort_buckets=int(sort_buckets),
+                      bucket_headroom=float(bucket_headroom))
     out, n_isect, n_dropped, n_budget_dropped, n_grad_dropped = core(
         means2d, conics, colors, opacities, depths, radii)
 
@@ -649,7 +678,8 @@ def rasterize_tiled(
 def rasterize_grad_meta(
     means2d, conics, colors, opacities, depths, radii, width, height,
     tile_size=16, chunk=256, max_tiles_per_gaussian=16, class_budgets=None,
-    depth_bits=0, grad_buffer_frac=1.0, interpret=None,
+    depth_bits=0, grad_buffer_frac=1.0, sort_buckets=0, bucket_headroom=1.15,
+    interpret=None,
 ):
     """Exact gradient-buffer occupancy for one render: returns the int
     triple (n_written, n_dropped, grad_cap) from a real backward sweep.
@@ -667,5 +697,7 @@ def rasterize_grad_meta(
     core = _make_core(ts, ntx, nty, chunk, means2d.shape[0],
                       max_tiles_per_gaussian, width, height, bool(interpret),
                       class_budgets=class_budgets, depth_bits=int(depth_bits),
-                      grad_frac=float(grad_buffer_frac))
+                      grad_frac=float(grad_buffer_frac),
+                      sort_buckets=int(sort_buckets),
+                      bucket_headroom=float(bucket_headroom))
     return core.probe_meta(means2d, conics, colors, opacities, depths, radii)

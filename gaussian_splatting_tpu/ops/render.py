@@ -47,12 +47,13 @@ def render(
     render_mode: str = "RGB",
     backend: str = "ref",
     tile_size: int = 16,
-    isect_capacity: Optional[int] = None,
     max_tiles_per_gaussian: int = 16,
     raster_chunk: int = 256,
     class_budgets=None,
     depth_bits: int = 0,
     grad_buffer_frac: float = 1.0,
+    sort_buckets: int = 0,
+    bucket_headroom: float = 1.15,
     rasterize_mode: str = "classic",
     with_stats: bool = False,
     depth_grad: bool = True,
@@ -103,10 +104,11 @@ def render(
         res = rasterize_tiled(
             proj.means2d, proj.conics, colors, opac, proj.depths, proj.radii,
             width, height, bg=bg, tile_size=tile_size,
-            isect_capacity=isect_capacity, chunk=raster_chunk,
+            chunk=raster_chunk,
             max_tiles_per_gaussian=max_tiles_per_gaussian,
             class_budgets=class_budgets, depth_bits=depth_bits,
             grad_buffer_frac=grad_buffer_frac,
+            sort_buckets=sort_buckets, bucket_headroom=bucket_headroom,
             with_stats=with_stats,
             depth_grad=depth_grad,
         )
@@ -146,7 +148,8 @@ def render_grad_meta(
     means, quats, log_scales, logit_opacities, sh_coeffs, viewmat, K,
     width, height, sh_degree=3, tile_size=16, max_tiles_per_gaussian=16,
     raster_chunk=256, class_budgets=None, depth_bits=0,
-    grad_buffer_frac=1.0, rasterize_mode="classic",
+    grad_buffer_frac=1.0, sort_buckets=0, bucket_headroom=1.15,
+    rasterize_mode="classic",
 ):
     """Exact gradient-buffer occupancy (n_written, n_dropped, grad_cap) for
     one view through the pallas backend — the trainer's probe for sizing
@@ -172,4 +175,5 @@ def render_grad_meta(
         max_tiles_per_gaussian=max_tiles_per_gaussian,
         class_budgets=class_budgets, depth_bits=depth_bits,
         grad_buffer_frac=grad_buffer_frac,
+        sort_buckets=sort_buckets, bucket_headroom=bucket_headroom,
     )

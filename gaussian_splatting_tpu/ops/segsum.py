@@ -163,7 +163,7 @@ def _make_segsum(M, N, C, interpret):
         grid=(n_chunks,),
         in_specs=[pl.BlockSpec((16, C), lambda b: (0, b),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, 16, C), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

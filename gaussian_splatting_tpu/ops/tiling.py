@@ -74,6 +74,7 @@ class TileBinning(NamedTuple):
     n_isect: jnp.ndarray         # () int32 total real intersections
     n_dropped: jnp.ndarray       # () int32 tiles lost to the MAX_T cap
     n_budget_dropped: jnp.ndarray  # () int32 tiles lost to class-budget overflow
+    n_bucket_dropped: jnp.ndarray  # () int32 tiles lost to partition-bucket overflow
 
 
 def padded_capacity_for(n_slots: int, num_tiles: int, chunk: int) -> int:
@@ -93,20 +94,6 @@ def class_caps(max_t: int) -> Tuple[int, ...]:
         c = c * 4 // 3 if c % 3 == 0 else c * 3 // 2
         caps.append(c)
     return tuple(caps)
-
-
-def fill_budgets_to_pow2(min_budgets, caps, max_headroom: float = 2.5,
-                         align: int = 128, overhead: int = 0) -> Tuple[int, ...]:
-    """DEPRECATED no-op kept for compatibility. Round-1 measured (with the
-    broken independent-call methodology, see BENCH.md) that ``lax.sort``
-    cost tracks the next pow2 of its length, so filling budgets up to the
-    boundary was "free". Honest chained timing shows cost is mostly LINEAR
-    in length with only a ~28% step at pow2 boundaries (12-operand sort:
-    4.19M 35.5 ms -> 4.20M 49.3 ms -> 8.39M 87.7 ms), so filling 6.17M of
-    real slots up to 8.2M was paying ~30% extra. Use
-    ``squeeze_budgets_under_pow2`` instead."""
-    del max_headroom, align, overhead
-    return tuple(int(b) for b in min_budgets)
 
 
 def squeeze_budgets_under_pow2(budgets, hard_min, caps, align: int = 128,
@@ -450,6 +437,8 @@ def isect_and_sort(
     max_tiles_per_gaussian: int = 16,
     class_budgets: Optional[Tuple[int, ...]] = None,
     depth_bits: int = 0,
+    sort_buckets: int = 0,
+    bucket_headroom: float = 1.15,
     interpret: Optional[bool] = None,
     _skip_final_sort: bool = False,
 ) -> TileBinning:
@@ -467,6 +456,17 @@ def isect_and_sort(
     only the blend ORDER of nearly-equal depths quantizes (the kernels still
     see exact depths); the classic CUDA pipelines quantize depth into their
     radix keys the same way. 13-bit tile ids + 16-bit depth fit int32.
+
+    ``sort_buckets = B > 0`` (power of two) replaces the one flat M-entry
+    sort with the Pallas bucket partition (``ops/partition.py``) by
+    ``tile % B`` plus B independent per-bucket sorts batched in ONE
+    ``lax.sort(dimension=1)`` call — measured ~2 ns/entry at rows <= 1M vs
+    ~10 ns/entry for the flat 4M+ sort (BENCH.md). The interleaved modulo
+    assignment balances buckets by construction; per-bucket capacity is
+    ``M/B * bucket_headroom`` and overflow is counted in
+    ``n_bucket_dropped`` (never silent). Bucket order within each tile is
+    exact (tile, depth) — ``depth_bits`` is ignored on this path (it is a
+    flat-sort cost knob; the batched sort pays little for the second key).
     """
     N = means2d.shape[0]
     assert N < (1 << 24), "gaussian ids must be exact in f32"
@@ -597,6 +597,12 @@ def isect_and_sort(
         n_isect = jnp.sum((tile_key < T).astype(jnp.int32))
 
     M = tile_key.shape[0]
+    n_bucket_dropped = jnp.zeros((), jnp.int32)
+    if sort_buckets and not _skip_final_sort:
+        return _bucket_binned(
+            tile_key, quantity_cols, T, M, chunk, int(sort_buckets),
+            float(bucket_headroom), n_isect, n_dropped, n_budget_dropped,
+            interpret)
     if _skip_final_sort:
         # Profiling-only: bypass the big sort (output is NOT render-valid).
         sorted_ops = (tile_key,) + quantity_cols
@@ -644,19 +650,93 @@ def isect_and_sort(
         n_isect=n_isect,
         n_dropped=n_dropped,
         n_budget_dropped=n_budget_dropped,
+        n_bucket_dropped=n_bucket_dropped,
+    )
+
+
+def _bucket_binned(tile_key, quantity_cols, T, M, chunk, B, headroom,
+                   n_isect, n_dropped, n_budget_dropped, interpret):
+    """Partition-then-batched-sort binning (see isect_and_sort docstring).
+
+    tile % B interleaving: consecutive tile ids (adjacent in x) spread
+    round-robin over buckets, so per-bucket loads track M/B closely on any
+    real scene. Concatenated buckets are NOT in global tile order — they
+    don't need to be: the kernels address segments through tile_starts,
+    which the per-bucket searchsorted below computes in bucket-local
+    coordinates plus the bucket offset."""
+    from gaussian_splatting_tpu.ops.partition import partition_soa
+
+    C = 512
+    sent = float(T)
+    # Partition input: row 0 = tile key, row 1 = depth (2nd sort key AND a
+    # payload), rows 2..10 = quantities, row 11 = gid. quantity_cols order:
+    # depth, mx, my, ca, cb, cc, op, r, g, b, gid.
+    rows = (tile_key.astype(jnp.float32),) + quantity_cols
+    packed = pack_rows(rows, sentinel=sent, interpret=interpret)
+    cap = cdiv(int(M * headroom) // B, C) * C
+    out, counts_b, drops_b = partition_soa(
+        packed, (cap,) * B, bucket_mod=B, key_row=0, sentinel=sent,
+        drop_key_above=sent, C=C, interpret=interpret)
+
+    # B independent (tile, depth)-sorts in ONE batched lax.sort call; pad
+    # columns carry key = T and sink to each bucket's tail.
+    ops = tuple(out[r].reshape(B, cap) for r in range(12))
+    srt = jax.lax.sort(ops, num_keys=2, dimension=1)
+    keys_s = srt[0]                                   # (B, cap)
+    s_depth = srt[1]
+    (s_mx, s_my, s_ca, s_cb, s_cc, s_op, s_r, s_g, s_b, s_gid) = srt[2:]
+
+    # Per-bucket segment table: bucket k holds tiles {k, k+B, k+2B, ...};
+    # query each tile's key (and T as the final count query — pads carry T).
+    Tq = cdiv(T, B)
+    karr = jnp.arange(B, dtype=jnp.int32)[:, None]
+    jarr = jnp.arange(Tq + 1, dtype=jnp.int32)[None, :]
+    queries = jnp.minimum(karr + jarr * B, T).astype(jnp.float32)  # (B, Tq+1)
+    ss = jax.vmap(lambda a, q: jnp.searchsorted(a, q))(keys_s, queries)
+    ss = ss.astype(jnp.int32)
+    offs = karr * cap
+    starts_g = ss[:, :-1] + offs                       # (B, Tq)
+    counts_g = ss[:, 1:] - ss[:, :-1]
+    # De-interleave to tile order: tile t = j*B + k <- [k, j].
+    tile_starts = jnp.swapaxes(starts_g, 0, 1).reshape(-1)[:T]
+    counts = jnp.swapaxes(counts_g, 0, 1).reshape(-1)[:T]
+    tile_starts = jnp.concatenate(
+        [tile_starts, jnp.full((1,), B * cap, jnp.int32)])
+
+    chunks_per_tile = cdiv(counts, chunk)
+    padded_starts = (
+        chunk * (jnp.cumsum(chunks_per_tile) - chunks_per_tile)
+    ).astype(jnp.int32)
+
+    soa = pack_soa(
+        (s_mx.reshape(-1), s_my.reshape(-1), s_ca.reshape(-1),
+         s_cb.reshape(-1), s_cc.reshape(-1), s_op.reshape(-1),
+         s_r.reshape(-1), s_g.reshape(-1), s_b.reshape(-1),
+         s_depth.reshape(-1), s_gid.reshape(-1)),
+        pad=2 * chunk, interpret=interpret)
+    return TileBinning(
+        sorted_soa=soa,
+        tile_starts=tile_starts,
+        counts=counts,
+        padded_starts=padded_starts,
+        n_isect=n_isect - jnp.sum(drops_b),
+        n_dropped=n_dropped,
+        n_budget_dropped=n_budget_dropped,
+        n_bucket_dropped=jnp.sum(drops_b),
     )
 
 
 def reduce_padded_grads(grad_soa: jnp.ndarray, n_gaussians: int,
                         n_written: jnp.ndarray, interpret=None,
-                        with_depth: bool = True):
+                        with_depth: bool = True, sort_buckets: int = 0,
+                        bucket_headroom: float = 1.15):
     """Per-gaussian gradient reduction — sort-based, scatter-free.
 
-    grad_soa: (16, pcap) backward-kernel output; row 11 carries the gaussian
-    id of each entry (f32, exact), rows 0..9 the per-entry gradients
+    grad_soa: (16, pcap) backward-kernel output; row 0 carries the gaussian
+    id of each entry (f32, exact), rows 1..10 the per-entry gradients
     [dmx, dmy, dA, dB, dC, dop, dr, dg, db, ddepth]. Entries past
-    ``n_written`` and masked entries carry id >= N (sentinel) and/or zero
-    grads. Returns a dict of (N,) arrays.
+    ``n_written`` are uninitialized; in-range pad entries carry id = N
+    (sentinel) with zero grads. Returns a dict of (N,) arrays.
 
     Method: payload sort by id, then ONE Pallas sweep summing each id's run
     into its output column (``segsum.segment_sum_sorted``). Round 1 used
@@ -667,18 +747,55 @@ def reduce_padded_grads(grad_soa: jnp.ndarray, n_gaussians: int,
     operand costs ~4.3 ms at the 1M bench) and returns zero ddepth — valid
     whenever the caller guarantees the depth output has no cotangent (the
     photometric training step; see rasterize_tiled(depth_grad=False)).
+
+    ``sort_buckets = B > 0`` (power of two): bucket-partition by
+    ``gid % B`` (ops/partition.py, n_valid = n_written discards the
+    uninitialized tail in-kernel), batched per-bucket sorts, then remap
+    each bucket's ids to a contiguous global range so ONE unchanged segsum
+    sweep reduces all buckets: gid g of bucket k = g % B remaps to
+    ``k*Nb + g//B`` (exact f32: ints < 2^24, B a power of two), ascending
+    across the concatenated buckets by construction. The de-interleave
+    back to id order is one (16, B, Nb) transpose. Bucket-capacity
+    overflow loses gradient entries — counted by ``reduce_grad_meta`` and
+    policed by the trainer's grad-buffer probe, mirroring grad_cap drops.
     """
     from gaussian_splatting_tpu.ops.segsum import segment_sum_sorted
 
     pcap = grad_soa.shape[1]
     n_pay = 10 if with_depth else 9
-    pos_ok = jnp.arange(pcap) < n_written
-    key = jnp.where(pos_ok, grad_soa[11], float(n_gaussians))
-    payloads = tuple(jnp.where(pos_ok, grad_soa[i], 0.0) for i in range(n_pay))
-    sorted_ops = jax.lax.sort((key,) + payloads, num_keys=1)
-    stacked = pack_rows(sorted_ops, sentinel=float(n_gaussians),
-                        interpret=interpret)
-    sums = segment_sum_sorted(stacked, n_gaussians, interpret=interpret)
+    if sort_buckets:
+        B = int(sort_buckets)
+        Nb = cdiv(n_gaussians, B)
+        # grad_cap is chunk-aligned; pick the largest partition chunk that
+        # divides it (the kernel's per-chunk cost amortizes with C).
+        C = 256 if pcap % 256 == 0 else 128
+        assert pcap % C == 0, f"grad buffer width {pcap} not 128-aligned"
+        cap = cdiv(int(pcap * bucket_headroom) // B, C) * C
+        # Per-bucket pad sentinel Nb*B + k remaps to exactly (k+1)*Nb — the
+        # next bucket's base — keeping the remapped key sequence ascending
+        # with zero payload (the segsum pad contract).
+        sentinels = tuple(float(Nb * B + k) for k in range(B))
+        out, counts_b, drops_b = partition_grads(
+            grad_soa, (cap,) * B, B, sentinels, n_written, C, interpret)
+        ops = tuple(out[r].reshape(B, cap) for r in range(1 + n_pay))
+        srt = jax.lax.sort(ops, num_keys=1, dimension=1)
+        karr = jnp.arange(B, dtype=jnp.float32)[:, None]
+        idg = karr * Nb + (srt[0] - karr) * (1.0 / B)     # exact: B pow2
+        rows = (idg.reshape(-1),) + tuple(s.reshape(-1) for s in srt[1:])
+        stacked = pack_rows(rows, sentinel=float(Nb * B), interpret=interpret)
+        sums = segment_sum_sorted(stacked, Nb * B, interpret=interpret)
+        # De-interleave: gaussian g = j*B + k lives at column k*Nb + j.
+        sums = jnp.swapaxes(sums.reshape(16, B, Nb), 1, 2).reshape(
+            16, B * Nb)[:, :n_gaussians]
+    else:
+        pos_ok = jnp.arange(pcap) < n_written
+        key = jnp.where(pos_ok, grad_soa[0], float(n_gaussians))
+        payloads = tuple(jnp.where(pos_ok, grad_soa[i], 0.0)
+                         for i in range(1, 1 + n_pay))
+        sorted_ops = jax.lax.sort((key,) + payloads, num_keys=1)
+        stacked = pack_rows(sorted_ops, sentinel=float(n_gaussians),
+                            interpret=interpret)
+        sums = segment_sum_sorted(stacked, n_gaussians, interpret=interpret)
     return {
         "dmx": sums[1], "dmy": sums[2],
         "dca": sums[3], "dcb": sums[4], "dcc": sums[5],
@@ -687,3 +804,15 @@ def reduce_padded_grads(grad_soa: jnp.ndarray, n_gaussians: int,
         "ddepth": sums[10] if with_depth
         else jnp.zeros((n_gaussians,), jnp.float32),
     }
+
+
+def partition_grads(grad_soa, caps, B, sentinels, n_written, C=256,
+                    interpret=None):
+    """gid-modulo bucket partition of the backward kernel's gradient stream
+    (row 0 = gid key): shared by reduce_padded_grads and the occupancy
+    probe (which reports its drops)."""
+    from gaussian_splatting_tpu.ops.partition import partition_soa
+
+    return partition_soa(
+        grad_soa, caps, bucket_mod=B, key_row=0, sentinel=sentinels,
+        n_valid=n_written, C=C, interpret=interpret)

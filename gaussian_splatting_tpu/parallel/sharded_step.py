@@ -85,7 +85,6 @@ def make_sharded_train_step(
     height: int,
     sh_degree: int,
     backend: str,
-    isect_capacity: int,
     scene_extent: float,
     donate: bool = True,
 ):
@@ -151,13 +150,23 @@ def make_sharded_train_step(
             if backend == "pallas":
                 from gaussian_splatting_tpu.ops.rasterize_pallas import rasterize_tiled
 
+                # Raster options mirror the single-chip step exactly
+                # (training/step.py): photometric loss -> depth never gets a
+                # cotangent (depth_grad=False drops one reduce-sort payload);
+                # sort_depth_bits and grad_buffer_frac are the same knobs.
+                # tests/test_trainer_mesh.py asserts this option parity.
                 img, alpha_img, _, stats = rasterize_tiled(
                     means2d_band, conics, colors, opac, depths, radii,
                     width, band_h, tile_size=ts,
-                    isect_capacity=isect_capacity, chunk=config.raster_chunk,
+                    chunk=config.raster_chunk,
                     max_tiles_per_gaussian=config.max_tiles_per_gaussian,
                     class_budgets=config.class_budgets,
+                    depth_bits=config.sort_depth_bits,
+                    grad_buffer_frac=config.grad_buffer_frac,
+                    sort_buckets=config.sort_buckets,
+                    bucket_headroom=config.partition_headroom,
                     with_stats=True,
+                    depth_grad=False,
                 )
                 s_acc = {k: s_acc[k] + stats[k] for k in stat_keys}
             else:

@@ -84,6 +84,15 @@ class TrainingConfig:
     # >0 packs (tile << bits | quantized depth) into ONE int32 sort key
     # (cheaper compare; blend order of nearly-equal depths quantizes).
     sort_depth_bits: int = 0
+    # >0 (power of two): route the binning sort AND the gradient-reduce
+    # sort through the Pallas bucket partition + B batched per-bucket
+    # sorts (ops/partition.py) — lax.sort runs ~5x cheaper per entry at
+    # rows <= 1M than at the flat 4M+ length (BENCH.md). Overflow of a
+    # bucket's static capacity (M/B * partition_headroom) is counted,
+    # never silent. Ignores sort_depth_bits (bucket sorts use the exact
+    # two-key compare).
+    sort_buckets: int = 0
+    partition_headroom: float = 1.15
     class_budgets: Optional[tuple] = None
     # Gradient-buffer capacity as a fraction of the exact bound (the sort
     # slot count). The gid payload sort over this buffer is the costliest
@@ -94,7 +103,6 @@ class TrainingConfig:
     # val_interval and raises the frac when a probe shows drops or >92%
     # occupancy (hysteresis recompile, like class rebudgets).
     grad_buffer_frac: float = 1.0
-    class_budget_headroom: float = 2.0  # deprecated (pow2 filling removed)
     backend: str = "auto"              # auto | pallas | ref
     # --- camera pose refinement (capability the reference lacks: its SfM
     # poses are frozen; measured on the synthetic-orbit benchmark the SfM
@@ -117,9 +125,7 @@ class TrainingConfig:
     # (gsplat rasterize_mode="antialiased" parity); "classic" matches the
     # reference's default gsplat call (gsplat_backend.py:83-97).
     rasterize_mode: str = "classic"    # classic | antialiased
-    isect_capacity_mult: int = 8       # capacity = mult * capacity_gaussians
     capacity_headroom: float = 1.5     # buffer capacity / population target
-    param_dtype: str = "float32"
     donate_step_buffers: bool = True
 
     # --- parallelism (new first-class components; reference had a dead

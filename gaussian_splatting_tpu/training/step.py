@@ -81,7 +81,6 @@ def make_train_step(
     height: int,
     sh_degree: int,
     backend: str,
-    isect_capacity: int,
     scene_extent: float,
     donate: bool = True,
 ):
@@ -125,12 +124,13 @@ def make_train_step(
                     sh, viewmat, K, width, height,
                     sh_degree=sh_degree, backend=backend,
                     tile_size=config.tile_size,
-                    isect_capacity=isect_capacity,
                     max_tiles_per_gaussian=config.max_tiles_per_gaussian,
                     raster_chunk=config.raster_chunk,
                     class_budgets=config.class_budgets,
                     depth_bits=config.sort_depth_bits,
                     grad_buffer_frac=config.grad_buffer_frac,
+                    sort_buckets=config.sort_buckets,
+                    bucket_headroom=config.partition_headroom,
                     rasterize_mode=config.rasterize_mode,
                     with_stats=want_stats,
                     # The training loss is photometric (L1 + DSSIM on RGB):

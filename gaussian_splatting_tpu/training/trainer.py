@@ -215,9 +215,6 @@ class GaussianTrainer:
                         "(%d -> %d slots)", slots, int((budgets * caps).sum()))
         return tuple(int(b) for b in budgets)
 
-    def _isect_capacity(self, capacity: int) -> int:
-        return int(self.config.isect_capacity_mult) * int(capacity)
-
     def _render_meta(self, extent: float) -> dict:
         """Checkpoint metadata so eval renders with the run's exact raster
         settings (VERDICT round-1: eval hardcoded defaults, re-truncating
@@ -233,8 +230,9 @@ class GaussianTrainer:
                 "class_budgets": (list(cfg.class_budgets)
                                   if cfg.class_budgets else None),
                 "sh_degree_max": cfg.sh_degree_max,
-                "isect_capacity_mult": cfg.isect_capacity_mult,
                 "rasterize_mode": cfg.rasterize_mode,
+                "sort_buckets": cfg.sort_buckets,
+                "partition_headroom": cfg.partition_headroom,
             },
         }
 
@@ -386,7 +384,8 @@ class GaussianTrainer:
 
         def get_step(sh_degree: int, capacity: int):
             key = (sh_degree, capacity, cfg.max_tiles_per_gaussian,
-                   cfg.class_budgets, cfg.grad_buffer_frac)
+                   cfg.class_budgets, cfg.grad_buffer_frac,
+                   cfg.sort_buckets, cfg.partition_headroom)
             if key not in step_cache:
                 t0 = time.time()
                 if mesh is not None:
@@ -397,8 +396,7 @@ class GaussianTrainer:
 
                     sstep, band_h, hp = make_sharded_train_step(
                         cfg, mesh, width, height, sh_degree, self.backend,
-                        self._isect_capacity(capacity), extent,
-                        donate=cfg.donate_step_buffers,
+                        extent, donate=cfg.donate_step_buffers,
                     )
 
                     def wrapped(state, batch, _s=sstep, _hp=hp):
@@ -412,8 +410,7 @@ class GaussianTrainer:
                 else:
                     step_cache[key] = make_train_step(
                         cfg, width, height, sh_degree, self.backend,
-                        self._isect_capacity(capacity), extent,
-                        donate=cfg.donate_step_buffers,
+                        extent, donate=cfg.donate_step_buffers,
                     )
                 log.info("built train step for sh=%d cap=%d (%.1fs)",
                          sh_degree, capacity, time.time() - t0)
@@ -617,8 +614,13 @@ class GaussianTrainer:
             # only a conservative bound — probe the EXACT kernel occupancy
             # on one train view and grow the frac (hysteresis recompile,
             # like class rebudgets) when drops or near-full occupancy show.
-            if (cfg.grad_buffer_frac < 1.0 and self.backend == "pallas"
-                    and mesh is None and it % cfg.val_interval == 0):
+            # With the bucketed reduce (sort_buckets > 0) the probe also
+            # counts reduce-bucket overflow, and growing the frac grows
+            # every bucket's capacity — so the probe runs in that mode even
+            # at frac 1.0.
+            if (self.backend == "pallas" and mesh is None
+                    and (cfg.grad_buffer_frac < 1.0 or cfg.sort_buckets > 0)
+                    and it % cfg.val_interval == 0):
                 try:
                     from gaussian_splatting_tpu.ops.render import render_grad_meta
 
@@ -634,6 +636,8 @@ class GaussianTrainer:
                         class_budgets=cfg.class_budgets,
                         depth_bits=cfg.sort_depth_bits,
                         grad_buffer_frac=cfg.grad_buffer_frac,
+                        sort_buckets=cfg.sort_buckets,
+                        bucket_headroom=cfg.partition_headroom,
                         rasterize_mode=cfg.rasterize_mode)
                     nw, nd, gcap = int(nw), int(nd), int(gcap)
                     self.logger.log({"stats/grad_buf_written": nw,
@@ -711,12 +715,12 @@ class GaussianTrainer:
         silently recompile (~1 min on this TPU) at every validation event."""
         cfg = self.config
         key = (sh_degree, width, height, capacity,
-               cfg.max_tiles_per_gaussian, cfg.class_budgets)
+               cfg.max_tiles_per_gaussian, cfg.class_budgets,
+               cfg.sort_buckets)
         cache = getattr(self, "_val_cache", None)
         if cache is None:
             cache = self._val_cache = {}
         if key not in cache:
-            cap = self._isect_capacity(capacity)
 
             @jax.jit
             def render_one(params, masked_op, viewmat, K):
@@ -724,10 +728,12 @@ class GaussianTrainer:
                     params.means, params.quats, params.log_scales, masked_op,
                     params.sh_coeffs, viewmat, K, width, height,
                     sh_degree=sh_degree, backend=self.backend,
-                    tile_size=cfg.tile_size, isect_capacity=cap,
+                    tile_size=cfg.tile_size,
                     max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
                     raster_chunk=cfg.raster_chunk,
                     class_budgets=cfg.class_budgets,
+                    sort_buckets=cfg.sort_buckets,
+                    bucket_headroom=cfg.partition_headroom,
                     rasterize_mode=cfg.rasterize_mode,
                 )
                 return jnp.clip(out.render, 0.0, 1.0)
@@ -763,10 +769,12 @@ class GaussianTrainer:
                             masked_op, params.sh_coeffs,
                             apply_pose_delta(viewmat, xi), K, width, height,
                             sh_degree=sh_degree, backend=self.backend,
-                            tile_size=cfg.tile_size, isect_capacity=cap,
+                            tile_size=cfg.tile_size,
                             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
                             raster_chunk=cfg.raster_chunk,
                             class_budgets=cfg.class_budgets,
+                            sort_buckets=cfg.sort_buckets,
+                            bucket_headroom=cfg.partition_headroom,
                             rasterize_mode=cfg.rasterize_mode,
                         )
                         d = jnp.clip(out.render, 0, 1) - gt

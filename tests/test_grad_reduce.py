@@ -1,37 +1,66 @@
 """Sort-based gradient reduction vs direct per-gaussian summation, including
-the f32 cumsum-difference precision at realistic sizes."""
+the f32 cumsum-difference precision at realistic sizes.
+
+Gradient-stream layout (backward kernel contract): row 0 = gaussian id
+(the sort key), rows 1..10 = per-entry gradients."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gaussian_splatting_tpu.ops.tiling import reduce_padded_grads
 
 
-def test_reduce_matches_direct_sum(rng):
-    N, pcap = 2000, 100_000
-    n_written = 80_000
+def _grad_stream(rng, N, pcap, n_written, wide=True):
     ids = rng.integers(0, N, size=(pcap,)).astype(np.float32)
     grads = np.zeros((16, pcap), np.float32)
-    grads[:10] = rng.normal(size=(10, pcap)).astype(np.float32) * \
-        np.exp(rng.normal(size=(pcap,)) * 2).astype(np.float32)  # wide dynamic range
-    grads[11] = ids
+    mag = (np.exp(rng.normal(size=(pcap,)) * 2).astype(np.float32)
+           if wide else 1.0)
+    grads[1:11] = rng.normal(size=(10, pcap)).astype(np.float32) * mag
+    grads[0] = ids
     # Junk (NaN) past n_written must not leak.
-    grads[:10, n_written:] = np.nan
-    grads[11, n_written:] = 12345.0
+    grads[1:11, n_written:] = np.nan
+    grads[0, n_written:] = float(N + 11.0)
+    return ids, grads
 
-    out = reduce_padded_grads(jnp.asarray(grads), N, jnp.int32(n_written))
+
+KEYS = ["dmx", "dmy", "dca", "dcb", "dcc", "dop", "dr", "dg", "db", "ddepth"]
+
+
+@pytest.mark.parametrize("buckets", [0, 4])
+def test_reduce_matches_direct_sum(rng, buckets):
+    N, pcap = 2000, 100_096  # 256-aligned width, like the kernel's grad_cap
+    n_written = 80_000
+    ids, grads = _grad_stream(rng, N, pcap, n_written)
+
+    out = reduce_padded_grads(jnp.asarray(grads), N, jnp.int32(n_written),
+                              sort_buckets=buckets)
 
     direct = np.zeros((10, N), np.float64)
     for q in range(10):
-        np.add.at(direct[q], ids[:n_written].astype(int), grads[q, :n_written].astype(np.float64))
+        np.add.at(direct[q], ids[:n_written].astype(int),
+                  grads[1 + q, :n_written].astype(np.float64))
 
-    keys = ["dmx", "dmy", "dca", "dcb", "dcc", "dop", "dr", "dg", "db", "ddepth"]
-    for q, k in enumerate(keys):
+    for q, k in enumerate(KEYS):
         got = np.asarray(out[k])
         assert np.isfinite(got).all(), k
-        scale = np.abs(grads[q, :n_written]).sum() + 1e-6  # cumsum magnitude bound
-        np.testing.assert_allclose(got, direct[q], atol=3e-6 * scale, rtol=1e-4,
-                                   err_msg=k)
+        scale = np.abs(grads[1 + q, :n_written]).sum() + 1e-6
+        np.testing.assert_allclose(got, direct[q], atol=3e-6 * scale,
+                                   rtol=1e-4, err_msg=k)
+
+
+def test_reduce_bucketed_matches_flat(rng):
+    """The bucketed reduce (partition + batched sorts + remapped segsum) ==
+    the flat reduce, to f32 summation-order tolerance."""
+    N, pcap = 1000, 50_176
+    n_written = 40_000
+    _, grads = _grad_stream(rng, N, pcap, n_written, wide=False)
+    flat = reduce_padded_grads(jnp.asarray(grads), N, jnp.int32(n_written))
+    buck = reduce_padded_grads(jnp.asarray(grads), N, jnp.int32(n_written),
+                               sort_buckets=8)
+    for k in KEYS:
+        np.testing.assert_allclose(np.asarray(buck[k]), np.asarray(flat[k]),
+                                   atol=1e-4, rtol=1e-5, err_msg=k)
 
 
 def test_reduce_without_depth_payload(rng):
@@ -39,18 +68,14 @@ def test_reduce_without_depth_payload(rng):
     differentiates the depth channel) must reproduce every non-depth sum
     bit-for-bit — the dropped sort payload cannot perturb the others — and
     return exactly zero ddepth."""
-    N, pcap = 500, 20_000
+    N, pcap = 500, 19_968
     n_written = 18_000
-    ids = rng.integers(0, N, size=(pcap,)).astype(np.float32)
-    grads = np.zeros((16, pcap), np.float32)
-    grads[:10] = rng.normal(size=(10, pcap)).astype(np.float32)
-    grads[11] = ids
-    grads[:10, n_written:] = np.nan
+    _, grads = _grad_stream(rng, N, pcap, n_written, wide=False)
 
     full = reduce_padded_grads(jnp.asarray(grads), N, jnp.int32(n_written))
     slim = reduce_padded_grads(jnp.asarray(grads), N, jnp.int32(n_written),
                                with_depth=False)
-    for k in ["dmx", "dmy", "dca", "dcb", "dcc", "dop", "dr", "dg", "db"]:
+    for k in KEYS[:9]:
         np.testing.assert_array_equal(np.asarray(full[k]),
                                       np.asarray(slim[k]), err_msg=k)
     assert (np.asarray(slim["ddepth"]) == 0).all()
@@ -95,8 +120,8 @@ def test_reduce_empty_segments(rng):
     N, pcap = 100, 4096
     ids = np.full((pcap,), 7.0, np.float32)  # all entries -> gaussian 7
     grads = np.zeros((16, pcap), np.float32)
-    grads[0] = 1.0
-    grads[11] = ids
+    grads[1] = 1.0
+    grads[0] = ids
     out = reduce_padded_grads(jnp.asarray(grads), N, jnp.int32(pcap))
     dmx = np.asarray(out["dmx"])
     assert dmx[7] == 4096.0

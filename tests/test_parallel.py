@@ -44,7 +44,7 @@ def test_sharded_step_runs_and_descends(rng, dm):
     cfg = TrainingConfig(batch_size=4, backend="ref")
     mesh = make_mesh(data=d, model=m)
     step, band_h, h_pad = make_sharded_train_step(
-        cfg, mesh, ds.width, ds.height, 0, "ref", 4096, 2.0, donate=False)
+        cfg, mesh, ds.width, ds.height, 0, "ref", 2.0, donate=False)
     imgs = pad_images_for_bands(jnp.asarray(ds.images, jnp.float32) / 255.0, h_pad)
     batch = ViewBatch(images=imgs, viewmats=jnp.asarray(ds.viewmats),
                       Ks=jnp.asarray(ds.Ks))
@@ -64,8 +64,8 @@ def test_sharded_matches_single_chip(rng):
     cfg = TrainingConfig(batch_size=2, backend="ref")
     mesh = make_mesh(data=2, model=2)
     sstep, band_h, h_pad = make_sharded_train_step(
-        cfg, mesh, ds.width, ds.height, 0, "ref", 4096, 2.0, donate=False)
-    step1 = make_train_step(cfg, ds.width, ds.height, 0, "ref", 4096, 2.0, donate=False)
+        cfg, mesh, ds.width, ds.height, 0, "ref", 2.0, donate=False)
+    step1 = make_train_step(cfg, ds.width, ds.height, 0, "ref", 2.0, donate=False)
 
     imgs = jnp.asarray(ds.images[:2], jnp.float32) / 255.0
     batch1 = ViewBatch(images=imgs, viewmats=jnp.asarray(ds.viewmats[:2]),
@@ -97,7 +97,7 @@ def test_zero_sharded_state_placement(rng):
     cfg = TrainingConfig(batch_size=2, backend="ref")
     mesh = make_mesh(data=2, model=4)
     sstep, _, h_pad = make_sharded_train_step(
-        cfg, mesh, ds.width, ds.height, 0, "ref", 4096, 2.0, donate=False)
+        cfg, mesh, ds.width, ds.height, 0, "ref", 2.0, donate=False)
     imgs = pad_images_for_bands(jnp.asarray(ds.images[:2], jnp.float32) / 255.0, h_pad)
     batch = ViewBatch(images=imgs, viewmats=jnp.asarray(ds.viewmats[:2]),
                       Ks=jnp.asarray(ds.Ks[:2]))

@@ -24,7 +24,7 @@ def test_sharded_step_with_pallas_kernels(rng):
     cfg = TrainingConfig(batch_size=2, backend="pallas")
     mesh = make_mesh(data=2, model=2)
     step, band_h, h_pad = make_sharded_train_step(
-        cfg, mesh, 32, 32, 0, "pallas", None, 2.0, donate=False)
+        cfg, mesh, 32, 32, 0, "pallas", 2.0, donate=False)
     imgs = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)), jnp.float32)
     vm = jnp.tile(jnp.eye(4, dtype=jnp.float32).at[2, 3].set(4.0)[None], (2, 1, 1))
     K = jnp.tile(jnp.asarray([[40.0, 0, 16], [0, 40.0, 16], [0, 0, 1]],

@@ -68,6 +68,61 @@ def test_partition_empty_and_full_buckets():
     np.testing.assert_array_equal(np.asarray(out), ref[0])
 
 
+def test_partition_bucket_mod_and_filters():
+    """bucket_mod (in-kernel key-modulo buckets) + n_valid prefix discard +
+    drop_key_above sentinel discard + per-bucket sentinels."""
+    rng = np.random.default_rng(4)
+    M, B, C = 1024, 8, 128
+    n_valid = 900
+    key_max = 700.0
+    keys = rng.integers(0, 1000, size=M).astype(np.float32)
+    x = rng.normal(size=(16, M)).astype(np.float32)
+    x[0, :] = keys
+    sentinels = tuple(10_000.0 + k for k in range(B))
+
+    # numpy reference: keep prefix < n_valid AND key < key_max; bucket by
+    # int(key) % B.
+    ref = np.zeros((16, B * 256), np.float32)
+    counts = np.zeros(B, np.int64)
+    for k in range(B):
+        ref[0, k * 256:(k + 1) * 256] = sentinels[k]
+    for j in range(n_valid):
+        if keys[j] >= key_max:
+            continue
+        b = int(keys[j]) % B
+        ref[:, b * 256 + counts[b]] = x[:, j]
+        counts[b] += 1
+
+    out, cnts, drops = partition_soa(
+        jnp.asarray(x), (256,) * B, bucket_mod=B, key_row=0,
+        sentinel=sentinels, n_valid=jnp.int32(n_valid),
+        drop_key_above=key_max, C=C, interpret=True)
+    np.testing.assert_array_equal(np.asarray(cnts), counts)
+    np.testing.assert_array_equal(np.asarray(drops), 0)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_partition_bucket_mod_shift():
+    """bucket_shift: bucket from the high bits of a combined key."""
+    rng = np.random.default_rng(5)
+    M, B, C, bits = 512, 4, 128, 4
+    tile = rng.integers(0, 32, size=M)
+    sub = rng.integers(0, 1 << bits, size=M)
+    keys = (tile << bits | sub).astype(np.float32)
+    x = rng.normal(size=(16, M)).astype(np.float32)
+    x[0, :] = keys
+    ref_bid = tile % B
+    out, cnts, _ = partition_soa(
+        jnp.asarray(x), (256,) * B, bucket_mod=B, bucket_shift=bits,
+        key_row=0, sentinel=1e9, C=C, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(cnts), np.bincount(ref_bid, minlength=B))
+    for k in range(B):
+        got = np.asarray(out[0, k * 256:k * 256 + int(cnts[k])])
+        want = keys[ref_bid == k]
+        np.testing.assert_array_equal(got, want)
+
+
 def test_partition_then_batched_sort_matches_flat_sort():
     """The intended use: bucket by key-range, per-bucket sort, concat ==
     one flat sort (keys unique so order is fully determined)."""

@@ -152,7 +152,7 @@ def test_pose_refinement_recovers_perturbation(rng):
         iteration=jnp.zeros((), jnp.int32),
         poses=pose_state_init(n_views),
     )
-    step = make_train_step(cfg, 48, 48, 0, "ref", 4096, 2.0, donate=False)
+    step = make_train_step(cfg, 48, 48, 0, "ref", 2.0, donate=False)
     batch = ViewBatch(
         images=jnp.asarray(images, jnp.float32),
         viewmats=jnp.asarray(vms_pert),
@@ -222,7 +222,7 @@ def test_pose_refinement_off_keeps_signature(rng):
     cfg = TrainingConfig(batch_size=2, backend="ref")
     state = TrainState(gauss=gauss, opt=adam_init(gauss.params),
                        iteration=jnp.zeros((), jnp.int32))
-    step = make_train_step(cfg, 48, 48, 0, "ref", 4096, 2.0, donate=False)
+    step = make_train_step(cfg, 48, 48, 0, "ref", 2.0, donate=False)
     batch = ViewBatch(images=jnp.asarray(images, jnp.float32),
                       viewmats=jnp.asarray(vms),
                       Ks=jnp.asarray(np.tile(K[None], (2, 1, 1))),

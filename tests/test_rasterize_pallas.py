@@ -217,6 +217,94 @@ def test_compact_binning_matches_dense(rng):
                                    err_msg=f"compact grad mismatch: {name}")
 
 
+def test_bucketed_sort_matches_flat(rng):
+    """Partition-bucketed binning + bucketed gradient reduce == the flat
+    sorts: pixels bit-close, gradients allclose (summation grouping in the
+    segsum windows differs, so exact equality is not required), both in
+    dense and compact class-budget modes."""
+    width, height = 64, 48
+    args = _screen_gaussians(rng, 80, width, height)
+    m, c, col, o, d, radii = args
+    from gaussian_splatting_tpu.ops.tiling import class_caps
+    budgets = tuple(80 for _ in class_caps(32))
+
+    def f(buckets, cb, m, c, col, o, d):
+        return rasterize_tiled(
+            m, c, col, o, d, radii, width, height, tile_size=16,
+            chunk=128, max_tiles_per_gaussian=32, class_budgets=cb,
+            sort_buckets=buckets, bucket_headroom=1.3, interpret=True)
+
+    for cb in (None, budgets):
+        img_f, alpha_f, dep_f = f(0, cb, m, c, col, o, d)
+        img_b, alpha_b, dep_b = f(4, cb, m, c, col, o, d)
+        np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_f),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(alpha_b), np.asarray(alpha_f),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(dep_b), np.asarray(dep_f),
+                                   atol=1e-6)
+
+    timg = jnp.asarray(rng.uniform(size=(height, width, 3)), jnp.float32)
+
+    def loss(buckets, *a):
+        img, alpha, depth = f(buckets, budgets, *a)
+        return (jnp.sum((img - timg) ** 2) + 0.3 * jnp.sum(alpha**2)
+                + 0.05 * jnp.sum(depth**2))
+
+    g_f = jax.grad(lambda *a: loss(0, *a), argnums=(0, 1, 2, 3, 4))(m, c, col, o, d)
+    g_b = jax.grad(lambda *a: loss(4, *a), argnums=(0, 1, 2, 3, 4))(m, c, col, o, d)
+    for name, gf, gb in zip(["means2d", "conics", "colors", "opac", "depths"],
+                            g_f, g_b):
+        scale = np.abs(np.asarray(gf)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gf),
+                                   atol=1e-6 * scale, rtol=1e-5,
+                                   err_msg=f"bucketed grad mismatch: {name}")
+
+
+def test_bucketed_binning_overflow_counted(rng):
+    """Starved bucket capacities (headroom << 1) must drop intersections
+    with an accounted stat, finite render, and exact occupancy reporting
+    through rasterize_grad_meta."""
+    from gaussian_splatting_tpu.ops.rasterize_pallas import rasterize_grad_meta
+
+    width, height = 64, 48
+    # Dense scene: enough intersections that a 512-entry bucket (the cap's
+    # C-alignment floor) genuinely starves. Low opacity avoids early
+    # termination dropping backward entries on its own.
+    m, c, col, o, d, radii = _screen_gaussians(rng, 400, width, height,
+                                               radius_scale=2.0,
+                                               opacity_range=(0.05, 0.3))
+    img, alpha, depth, stats = rasterize_tiled(
+        m, c, col, o, d, radii, width, height, tile_size=16, chunk=128,
+        max_tiles_per_gaussian=16, sort_buckets=2, bucket_headroom=0.05,
+        interpret=True, with_stats=True)
+    # n_isect reports KEPT intersections (post-drop): starved buckets fill
+    # to exactly their capacity.
+    assert int(stats["n_isect"]) == 2 * 512
+    assert int(stats["n_budget_dropped"]) > 0   # bucket drops fold in here
+    assert np.isfinite(np.asarray(img)).all()
+    # Ample headroom: no drops, same stats keys as the flat path.
+    *_, stats_ok = rasterize_tiled(
+        m, c, col, o, d, radii, width, height, tile_size=16, chunk=128,
+        max_tiles_per_gaussian=16, sort_buckets=2, bucket_headroom=1.5,
+        interpret=True, with_stats=True)
+    assert int(stats_ok["n_budget_dropped"]) == 0
+    assert set(stats_ok) == {"n_isect", "n_dropped", "n_budget_dropped",
+                             "n_grad_dropped"}
+    # The probe reports reduce-bucket drops when the reduce is starved:
+    # grad_buffer_frac shrinks grad_cap so each reduce bucket caps at C.
+    nw, nd, gcap = rasterize_grad_meta(
+        m, c, col, o, d, radii, width, height, tile_size=16, chunk=128,
+        max_tiles_per_gaussian=16, sort_buckets=2, bucket_headroom=1.0,
+        grad_buffer_frac=0.1, interpret=True)
+    assert int(nd) > 0
+    nw2, nd2, _ = rasterize_grad_meta(
+        m, c, col, o, d, radii, width, height, tile_size=16, chunk=128,
+        max_tiles_per_gaussian=16, sort_buckets=2, bucket_headroom=1.5,
+        interpret=True)
+    assert int(nd2) == 0 and int(nw2) > 0
+
+
 def test_compact_budget_overflow_counted(rng):
     """Tight class budgets drop whole gaussians — the drops must be counted
     in n_budget_dropped and the render must stay finite."""

@@ -318,7 +318,7 @@ def test_train_step_descends(rng):
                               None, 64, capacity=128)
     ts = TrainState(gauss=state0, opt=adam_init(state0.params),
                     iteration=jnp.zeros((), jnp.int32))
-    step = make_train_step(cfg, ds.width, ds.height, 0, "ref", 4096, 2.0, donate=False)
+    step = make_train_step(cfg, ds.width, ds.height, 0, "ref", 2.0, donate=False)
     batch = ViewBatch(
         images=jnp.asarray(ds.images[:2], jnp.float32) / 255.0,
         viewmats=jnp.asarray(ds.viewmats[:2]),
