@@ -125,7 +125,7 @@ def main(argv=None) -> int:
     sh_degree = int(rmeta.get("sh_degree_max", 3))
     rasterize_mode = str(rmeta.get("rasterize_mode", "classic"))
     sort_buckets = int(rmeta.get("sort_buckets", 0))
-    bucket_headroom = float(rmeta.get("partition_headroom", 1.15))
+    bucket_headroom = float(rmeta.get("partition_headroom", 1.5))
     budgets = rmeta.get("class_budgets")
     budgets = tuple(int(b) for b in budgets) if budgets else None
     if rmeta:

@@ -446,7 +446,7 @@ def _bwd_kernel(starts_ref, counts_ref, soa_ref, aux_ref, grad_ref, meta_ref,
 def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
                grad_cap_mult=8, class_budgets=None, depth_bits=0,
                grad_frac=1.0, depth_grad=True, sort_buckets=0,
-               bucket_headroom=1.15):
+               bucket_headroom=1.5):
     P = ts * ts
     T = ntx * nty
     n_slots = total_slots(N, max_t, class_budgets)
@@ -583,12 +583,12 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
 
             B = int(sort_buckets)
             Nb = cdiv(N, B)
-            C = 256 if grad_cap % 256 == 0 else 128
-            cap = cdiv(int(grad_cap * bucket_headroom) // B, C) * C
+            C = 512 if grad_cap % 512 == 0 else (
+                256 if grad_cap % 256 == 0 else 128)
             sentinels = tuple(float(Nb * B + k) for k in range(B))
             _, _, drops_b = partition_grads(
-                grad_padded, (cap,) * B, B, sentinels, meta[0, 0], C,
-                interpret)
+                grad_padded, B, sentinels, meta[0, 0], C,
+                bucket_headroom, interpret)
             n_drop = n_drop + jnp.sum(drops_b)
         return meta[0, 0], n_drop, jnp.int32(grad_cap)
 
@@ -614,7 +614,7 @@ def rasterize_tiled(
     depth_bits=0,
     grad_buffer_frac=1.0,
     sort_buckets=0,
-    bucket_headroom=1.15,
+    bucket_headroom=1.5,
     interpret=None,
     with_stats=False,
     depth_grad=True,
@@ -678,7 +678,7 @@ def rasterize_tiled(
 def rasterize_grad_meta(
     means2d, conics, colors, opacities, depths, radii, width, height,
     tile_size=16, chunk=256, max_tiles_per_gaussian=16, class_budgets=None,
-    depth_bits=0, grad_buffer_frac=1.0, sort_buckets=0, bucket_headroom=1.15,
+    depth_bits=0, grad_buffer_frac=1.0, sort_buckets=0, bucket_headroom=1.5,
     interpret=None,
 ):
     """Exact gradient-buffer occupancy for one render: returns the int

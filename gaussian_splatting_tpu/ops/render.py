@@ -53,7 +53,7 @@ def render(
     depth_bits: int = 0,
     grad_buffer_frac: float = 1.0,
     sort_buckets: int = 0,
-    bucket_headroom: float = 1.15,
+    bucket_headroom: float = 1.5,
     rasterize_mode: str = "classic",
     with_stats: bool = False,
     depth_grad: bool = True,
@@ -148,7 +148,7 @@ def render_grad_meta(
     means, quats, log_scales, logit_opacities, sh_coeffs, viewmat, K,
     width, height, sh_degree=3, tile_size=16, max_tiles_per_gaussian=16,
     raster_chunk=256, class_budgets=None, depth_bits=0,
-    grad_buffer_frac=1.0, sort_buckets=0, bucket_headroom=1.15,
+    grad_buffer_frac=1.0, sort_buckets=0, bucket_headroom=1.5,
     rasterize_mode="classic",
 ):
     """Exact gradient-buffer occupancy (n_written, n_dropped, grad_cap) for

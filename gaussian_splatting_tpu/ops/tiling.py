@@ -438,7 +438,7 @@ def isect_and_sort(
     class_budgets: Optional[Tuple[int, ...]] = None,
     depth_bits: int = 0,
     sort_buckets: int = 0,
-    bucket_headroom: float = 1.15,
+    bucket_headroom: float = 1.5,
     interpret: Optional[bool] = None,
     _skip_final_sort: bool = False,
 ) -> TileBinning:
@@ -664,23 +664,26 @@ def _bucket_binned(tile_key, quantity_cols, T, M, chunk, B, headroom,
     don't need to be: the kernels address segments through tile_starts,
     which the per-bucket searchsorted below computes in bucket-local
     coordinates plus the bucket offset."""
-    from gaussian_splatting_tpu.ops.partition import partition_soa
+    from gaussian_splatting_tpu.ops.partition import partition_soa, quantum_for
 
     C = 512
     sent = float(T)
     # Partition input: row 0 = tile key, row 1 = depth (2nd sort key AND a
     # payload), rows 2..10 = quantities, row 11 = gid. quantity_cols order:
-    # depth, mx, my, ca, cb, cc, op, r, g, b, gid.
+    # depth, mx, my, ca, cb, cc, op, r, g, b, gid. pack_rows pads the width
+    # to a _PACK_C multiple with key = sent, which drop_key_above discards
+    # in-kernel along with the budget-slack slots.
     rows = (tile_key.astype(jnp.float32),) + quantity_cols
     packed = pack_rows(rows, sentinel=sent, interpret=interpret)
-    cap = cdiv(int(M * headroom) // B, C) * C
+    q = quantum_for(C, B, headroom)
+    cap = (packed.shape[1] // C) * q
     out, counts_b, drops_b = partition_soa(
-        packed, (cap,) * B, bucket_mod=B, key_row=0, sentinel=sent,
+        packed, B, q, key_row=0, sentinel=sent,
         drop_key_above=sent, C=C, interpret=interpret)
 
     # B independent (tile, depth)-sorts in ONE batched lax.sort call; pad
     # columns carry key = T and sink to each bucket's tail.
-    ops = tuple(out[r].reshape(B, cap) for r in range(12))
+    ops = tuple(out[r] for r in range(12))
     srt = jax.lax.sort(ops, num_keys=2, dimension=1)
     keys_s = srt[0]                                   # (B, cap)
     s_depth = srt[1]
@@ -729,7 +732,7 @@ def _bucket_binned(tile_key, quantity_cols, T, M, chunk, B, headroom,
 def reduce_padded_grads(grad_soa: jnp.ndarray, n_gaussians: int,
                         n_written: jnp.ndarray, interpret=None,
                         with_depth: bool = True, sort_buckets: int = 0,
-                        bucket_headroom: float = 1.15):
+                        bucket_headroom: float = 1.5):
     """Per-gaussian gradient reduction — sort-based, scatter-free.
 
     grad_soa: (16, pcap) backward-kernel output; row 0 carries the gaussian
@@ -768,16 +771,15 @@ def reduce_padded_grads(grad_soa: jnp.ndarray, n_gaussians: int,
         Nb = cdiv(n_gaussians, B)
         # grad_cap is chunk-aligned; pick the largest partition chunk that
         # divides it (the kernel's per-chunk cost amortizes with C).
-        C = 256 if pcap % 256 == 0 else 128
+        C = 512 if pcap % 512 == 0 else (256 if pcap % 256 == 0 else 128)
         assert pcap % C == 0, f"grad buffer width {pcap} not 128-aligned"
-        cap = cdiv(int(pcap * bucket_headroom) // B, C) * C
         # Per-bucket pad sentinel Nb*B + k remaps to exactly (k+1)*Nb — the
         # next bucket's base — keeping the remapped key sequence ascending
         # with zero payload (the segsum pad contract).
         sentinels = tuple(float(Nb * B + k) for k in range(B))
         out, counts_b, drops_b = partition_grads(
-            grad_soa, (cap,) * B, B, sentinels, n_written, C, interpret)
-        ops = tuple(out[r].reshape(B, cap) for r in range(1 + n_pay))
+            grad_soa, B, sentinels, n_written, C, bucket_headroom, interpret)
+        ops = tuple(out[r] for r in range(1 + n_pay))
         srt = jax.lax.sort(ops, num_keys=1, dimension=1)
         karr = jnp.arange(B, dtype=jnp.float32)[:, None]
         idg = karr * Nb + (srt[0] - karr) * (1.0 / B)     # exact: B pow2
@@ -806,13 +808,14 @@ def reduce_padded_grads(grad_soa: jnp.ndarray, n_gaussians: int,
     }
 
 
-def partition_grads(grad_soa, caps, B, sentinels, n_written, C=256,
-                    interpret=None):
+def partition_grads(grad_soa, B, sentinels, n_written, C=256,
+                    headroom=1.5, interpret=None):
     """gid-modulo bucket partition of the backward kernel's gradient stream
     (row 0 = gid key): shared by reduce_padded_grads and the occupancy
     probe (which reports its drops)."""
-    from gaussian_splatting_tpu.ops.partition import partition_soa
+    from gaussian_splatting_tpu.ops.partition import partition_soa, quantum_for
 
+    q = quantum_for(C, B, headroom)
     return partition_soa(
-        grad_soa, caps, bucket_mod=B, key_row=0, sentinel=sentinels,
+        grad_soa, B, q, key_row=0, sentinel=sentinels,
         n_valid=n_written, C=C, interpret=interpret)

@@ -92,7 +92,7 @@ class TrainingConfig:
     # never silent. Ignores sort_depth_bits (bucket sorts use the exact
     # two-key compare).
     sort_buckets: int = 0
-    partition_headroom: float = 1.15
+    partition_headroom: float = 1.5
     class_budgets: Optional[tuple] = None
     # Gradient-buffer capacity as a fraction of the exact bound (the sort
     # slot count). The gid payload sort over this buffer is the costliest

@@ -1,151 +1,150 @@
-"""partition_soa == numpy stable bucket partition (order, counts, drops,
-pad contract)."""
+"""partition_soa (the quantum-scatter bucket partition) == numpy reference
+(placement, counts, drops, sentinel/validity pad contract), and the
+load-bearing integration property: partition + batched per-bucket sort ==
+one flat sort."""
 
 import numpy as np
 import jax.numpy as jnp
 
-from gaussian_splatting_tpu.ops.partition import partition_soa
+from gaussian_splatting_tpu.ops.partition import partition_soa, quantum_for
 
 
-def _np_partition(x, caps, bucket_row, key_row, sentinel):
-    B = len(caps)
+def _np_qpartition(x, B, q, C, key_row, sentinels, n_valid=None,
+                   drop_key_above=None, shift=0):
+    """Reference for the quantum layout: chunk g's bucket-b entries land at
+    columns [g*q, g*q + fill) in input order; pads carry the bucket
+    sentinel on the key row, zero payload, and validity 0 on row 15."""
     M = x.shape[1]
-    bid = np.clip(x[bucket_row].astype(np.int64), 0, B - 1)
-    out = np.zeros((16, sum(caps)), np.float32)
-    out[key_row, :] = sentinel
+    n_chunks = M // C
+    cap = n_chunks * q
+    out = np.zeros((16, B, cap), np.float32)
+    for b in range(B):
+        out[key_row, b, :] = sentinels[b]
     counts = np.zeros(B, np.int64)
     drops = np.zeros(B, np.int64)
-    off = np.concatenate([[0], np.cumsum(caps)])
-    for j in range(M):
-        b = bid[j]
-        if counts[b] < caps[b]:
-            out[:, off[b] + counts[b]] = x[:, j]
-            counts[b] += 1
-        else:
-            drops[b] += 1
+    nv = M if n_valid is None else n_valid
+    for g in range(n_chunks):
+        fill = np.zeros(B, np.int64)
+        for j in range(g * C, (g + 1) * C):
+            if j >= nv:
+                continue
+            k = x[key_row, j]
+            if drop_key_above is not None and k >= drop_key_above:
+                continue
+            b = (int(k) >> shift) & (B - 1)
+            if fill[b] < q:
+                col = g * q + fill[b]
+                out[:15, b, col] = x[:15, j]
+                out[15, b, col] = 1.0  # validity carrier replaces row 15
+                fill[b] += 1
+                counts[b] += 1
+            else:
+                drops[b] += 1
     return out, counts, drops
 
 
-def _roundtrip(M, B, caps, C, seed, skew=None):
+def _roundtrip(M, B, q, C, seed, key_max=997.0, n_valid=None,
+               drop_key_above=None, shift=0, sentinels=None):
     rng = np.random.default_rng(seed)
     x = rng.normal(size=(16, M)).astype(np.float32)
-    if skew is None:
-        bid = rng.integers(0, B, size=M)
-    else:
-        bid = np.minimum(rng.geometric(skew, size=M) - 1, B - 1)
-    x[15, :] = bid.astype(np.float32)
-    sentinel = 1e9
-    ref_out, ref_counts, ref_drops = _np_partition(x, caps, 15, 0, sentinel)
+    x[0, :] = rng.integers(0, int(key_max), size=M).astype(np.float32)
+    if sentinels is None:
+        sentinels = (float(key_max),) * B
+    ref = _np_qpartition(x, B, q, C, 0, sentinels, n_valid=n_valid,
+                         drop_key_above=drop_key_above, shift=shift)
     out, counts, drops = partition_soa(
-        jnp.asarray(x), caps, bucket_row=15, key_row=0, sentinel=sentinel,
-        C=C, interpret=True)
-    np.testing.assert_array_equal(np.asarray(counts), ref_counts)
-    np.testing.assert_array_equal(np.asarray(drops), ref_drops)
-    np.testing.assert_array_equal(np.asarray(out), ref_out)
-
-
-def test_partition_balanced():
-    # no overflow: generous equal caps
-    _roundtrip(M=1024, B=4, caps=(512, 512, 512, 512), C=128, seed=0)
-
-
-def test_partition_overflow_counted():
-    # bucket 0 gets ~half the columns but capacity for only 128
-    _roundtrip(M=1024, B=8, caps=(128,) * 8, C=128, seed=1, skew=0.5)
-
-
-def test_partition_empty_and_full_buckets():
-    rng = np.random.default_rng(2)
-    M, B, C = 512, 4, 128
-    x = rng.normal(size=(16, M)).astype(np.float32)
-    x[15, :] = 2.0  # everything to bucket 2
-    caps = (128, 128, 512, 128)
-    ref = _np_partition(x, caps, 15, 0, -1.0)
-    out, counts, drops = partition_soa(
-        jnp.asarray(x), caps, bucket_row=15, key_row=0, sentinel=-1.0,
-        C=C, interpret=True)
+        jnp.asarray(x), B, q, key_row=0, sentinel=sentinels, C=C,
+        bucket_shift=shift, n_valid=n_valid, drop_key_above=drop_key_above,
+        interpret=True)
     np.testing.assert_array_equal(np.asarray(counts), ref[1])
+    np.testing.assert_array_equal(np.asarray(drops), ref[2])
     np.testing.assert_array_equal(np.asarray(out), ref[0])
 
 
-def test_partition_bucket_mod_and_filters():
-    """bucket_mod (in-kernel key-modulo buckets) + n_valid prefix discard +
-    drop_key_above sentinel discard + per-bucket sentinels."""
-    rng = np.random.default_rng(4)
-    M, B, C = 1024, 8, 128
-    n_valid = 900
-    key_max = 700.0
-    keys = rng.integers(0, 1000, size=M).astype(np.float32)
+def test_partition_balanced():
+    # q = 2x the balanced mean C/B: no per-chunk overflow at uniform keys
+    _roundtrip(M=1024, B=4, q=64, C=128, seed=0)
+
+
+def test_partition_overflow_counted():
+    # geometric keys pile onto bucket 0; q = C/B leaves no headroom
+    rng = np.random.default_rng(1)
+    M, B, C, q = 1024, 8, 128, 16
     x = rng.normal(size=(16, M)).astype(np.float32)
-    x[0, :] = keys
-    sentinels = tuple(10_000.0 + k for k in range(B))
-
-    # numpy reference: keep prefix < n_valid AND key < key_max; bucket by
-    # int(key) % B.
-    ref = np.zeros((16, B * 256), np.float32)
-    counts = np.zeros(B, np.int64)
-    for k in range(B):
-        ref[0, k * 256:(k + 1) * 256] = sentinels[k]
-    for j in range(n_valid):
-        if keys[j] >= key_max:
-            continue
-        b = int(keys[j]) % B
-        ref[:, b * 256 + counts[b]] = x[:, j]
-        counts[b] += 1
-
-    out, cnts, drops = partition_soa(
-        jnp.asarray(x), (256,) * B, bucket_mod=B, key_row=0,
-        sentinel=sentinels, n_valid=jnp.int32(n_valid),
-        drop_key_above=key_max, C=C, interpret=True)
-    np.testing.assert_array_equal(np.asarray(cnts), counts)
-    np.testing.assert_array_equal(np.asarray(drops), 0)
-    np.testing.assert_array_equal(np.asarray(out), ref)
+    keys = np.minimum(rng.geometric(0.5, size=M) - 1, 500)
+    x[0, :] = keys.astype(np.float32)
+    sent = (1000.0,) * B
+    ref = _np_qpartition(x, B, q, C, 0, sent)
+    out, counts, drops = partition_soa(
+        jnp.asarray(x), B, q, key_row=0, sentinel=sent, C=C, interpret=True)
+    assert int(np.asarray(drops).sum()) > 0, "test must force overflow"
+    np.testing.assert_array_equal(np.asarray(counts), ref[1])
+    np.testing.assert_array_equal(np.asarray(drops), ref[2])
+    np.testing.assert_array_equal(np.asarray(out), ref[0])
 
 
-def test_partition_bucket_mod_shift():
+def test_partition_filters_and_per_bucket_sentinels():
+    """n_valid prefix discard + drop_key_above sentinel discard + one
+    sentinel per bucket (the gradient-reduce contract)."""
+    B = 8
+    _roundtrip(M=1024, B=B, q=32, C=128, seed=4, n_valid=900,
+               drop_key_above=700.0,
+               sentinels=tuple(10_000.0 + k for k in range(B)))
+
+
+def test_partition_bucket_shift():
     """bucket_shift: bucket from the high bits of a combined key."""
     rng = np.random.default_rng(5)
-    M, B, C, bits = 512, 4, 128, 4
+    M, B, C, bits, q = 512, 4, 128, 4, 64
     tile = rng.integers(0, 32, size=M)
     sub = rng.integers(0, 1 << bits, size=M)
-    keys = (tile << bits | sub).astype(np.float32)
     x = rng.normal(size=(16, M)).astype(np.float32)
-    x[0, :] = keys
-    ref_bid = tile % B
+    x[0, :] = (tile << bits | sub).astype(np.float32)
     out, cnts, _ = partition_soa(
-        jnp.asarray(x), (256,) * B, bucket_mod=B, bucket_shift=bits,
+        jnp.asarray(x), B, q, bucket_shift=bits,
         key_row=0, sentinel=1e9, C=C, interpret=True)
     np.testing.assert_array_equal(
-        np.asarray(cnts), np.bincount(ref_bid, minlength=B))
+        np.asarray(cnts), np.bincount(tile % B, minlength=B))
     for k in range(B):
-        got = np.asarray(out[0, k * 256:k * 256 + int(cnts[k])])
-        want = keys[ref_bid == k]
+        got = np.asarray(out[0, k])
+        got = got[np.asarray(out[15, k]) > 0.5]
+        want = x[0, tile % B == k]
         np.testing.assert_array_equal(got, want)
 
 
+def test_quantum_for():
+    assert quantum_for(512, 8, 1.5) == 96    # 8*96/512 = 1.5, 768 % 128 = 0
+    assert quantum_for(512, 8, 1.15) == 80
+    assert quantum_for(256, 8, 1.5) == 48
+    assert quantum_for(512, 16, 1.5) == 48
+    for C, B, h in ((512, 8, 1.3), (256, 8, 2.0), (128, 4, 1.5)):
+        q = quantum_for(C, B, h)
+        assert B * q >= h * C and (B * q) % 128 == 0
+
+
 def test_partition_then_batched_sort_matches_flat_sort():
-    """The intended use: bucket by key-range, per-bucket sort, concat ==
-    one flat sort (keys unique so order is fully determined)."""
+    """The intended use: partition by key-modulo buckets, per-bucket sort,
+    de-interleave == one flat sort (keys unique so order is fully
+    determined; pads sink to each bucket's tail)."""
     import jax
 
     rng = np.random.default_rng(3)
     M, B, C = 2048, 4, 128
-    cap = 1024
+    q = 2 * (C // B)  # 2x headroom: no drops for the modulo assignment
     keys = rng.permutation(M).astype(np.float32)  # unique
     x = rng.normal(size=(16, M)).astype(np.float32)
     x[0, :] = keys
-    x[15, :] = np.floor(keys / (M / B))          # range buckets
-    out, counts, _ = partition_soa(
-        jnp.asarray(x), (cap,) * B, bucket_row=15, key_row=0,
+    out, counts, drops = partition_soa(
+        jnp.asarray(x), B, q, key_row=0,
         sentinel=float(M), C=C, interpret=True)
-    # per-bucket sort by key row (pads carry sentinel=M, sink to the end)
-    bl = np.stack([np.asarray(out[:, k * cap:(k + 1) * cap]) for k in range(B)])
-    srt = jax.vmap(lambda a: jax.lax.sort(tuple(a), num_keys=1))(
-        jnp.asarray(bl))
-    srt = np.concatenate([np.stack(
-        [np.asarray(srt[r][k]) for r in range(16)]) for k in range(B)], axis=1)
-    # strip pads: real columns are where key < M
-    real = srt[0] < M
-    got = srt[:, real]
-    want = np.asarray(x)[:, np.argsort(keys)]
-    np.testing.assert_array_equal(got, want)
+    assert int(np.asarray(drops).sum()) == 0
+    assert int(np.asarray(counts).sum()) == M
+    srt = jax.lax.sort(tuple(out[r] for r in range(16)), num_keys=1,
+                       dimension=1)
+    srt = np.stack([np.asarray(s) for s in srt])  # (16, B, cap)
+    # bucket k holds keys {k, k+B, ...} sorted ascending; de-interleave
+    got = np.concatenate([srt[:15, k, :int(counts[k])] for k in range(B)],
+                         axis=1)
+    want = np.asarray(x)[:15][:, np.argsort(keys)]
+    order = np.argsort(got[0], kind="stable")
+    np.testing.assert_array_equal(got[:, order], want)

@@ -278,19 +278,21 @@ def test_bucketed_binning_overflow_counted(rng):
         m, c, col, o, d, radii, width, height, tile_size=16, chunk=128,
         max_tiles_per_gaussian=16, sort_buckets=2, bucket_headroom=0.05,
         interpret=True, with_stats=True)
-    # n_isect reports KEPT intersections (post-drop): starved buckets fill
-    # to exactly their capacity.
-    assert int(stats["n_isect"]) == 2 * 512
     assert int(stats["n_budget_dropped"]) > 0   # bucket drops fold in here
     assert np.isfinite(np.asarray(img)).all()
     # Ample headroom: no drops, same stats keys as the flat path.
     *_, stats_ok = rasterize_tiled(
         m, c, col, o, d, radii, width, height, tile_size=16, chunk=128,
-        max_tiles_per_gaussian=16, sort_buckets=2, bucket_headroom=1.5,
+        max_tiles_per_gaussian=16, sort_buckets=2, bucket_headroom=2.0,
         interpret=True, with_stats=True)
     assert int(stats_ok["n_budget_dropped"]) == 0
     assert set(stats_ok) == {"n_isect", "n_dropped", "n_budget_dropped",
                              "n_grad_dropped"}
+    # n_isect reports KEPT intersections: kept + dropped == the unstarved
+    # total (the quantum partition drops per-chunk overflow, counted).
+    assert (int(stats["n_isect"]) + int(stats["n_budget_dropped"])
+            == int(stats_ok["n_isect"]))
+    assert int(stats["n_isect"]) > 0
     # The probe reports reduce-bucket drops when the reduce is starved:
     # grad_buffer_frac shrinks grad_cap so each reduce bucket caps at C.
     nw, nd, gcap = rasterize_grad_meta(
