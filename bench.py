@@ -104,6 +104,23 @@ def main():
     n_budget_dropped = int(stats["n_budget_dropped"])
     n_slots = total_slots(n, max_t, budgets)
 
+    # Size the gradient buffer to the measured backward occupancy (+8%):
+    # the gid sort over this buffer scales with its static length, and the
+    # compact appends typically fill well under the n_slots bound. This is
+    # exactly what the trainer's grad-buffer hysteresis converges to.
+    from gaussian_splatting_tpu.ops.rasterize_pallas import rasterize_grad_meta
+
+    nw, nd_k, gcap = jax.jit(
+        lambda: rasterize_grad_meta(
+            means2d, conics, colors, opac, depths, radii, width, height,
+            tile_size=16, chunk=chunk, max_tiles_per_gaussian=max_t,
+            class_budgets=budgets, interpret=not on_tpu,
+        )
+    )()
+    grad_frac = min(1.0, max(float(int(nw) + int(nd_k)) * 1.08, chunk)
+                    / float(int(gcap)))
+    reduce_slices = 16
+
     # Honest timing: reps run inside ONE on-device fori_loop chained through
     # a carry (time_fn_device) — the remote execution layer can neither
     # overlap reps across its worker pool nor memoize them (round-1 numbers
@@ -122,6 +139,7 @@ def main():
                 m * s, c2, col, o, dd, r, width, height,
                 tile_size=16, chunk=chunk,
                 max_tiles_per_gaussian=max_t, class_budgets=budgets,
+                grad_buffer_frac=grad_frac, reduce_slices=reduce_slices,
                 interpret=not on_tpu, depth_grad=False,
             )
             return jnp.sum(img) + jnp.sum(alpha)
@@ -140,6 +158,9 @@ def main():
         "n_isect": n_isect,
         "n_tile_overflow_dropped": n_dropped,
         "n_budget_dropped": n_budget_dropped,
+        "n_grad_written": int(nw),
+        "n_grad_dropped_kernel": int(nd_k),
+        "grad_buffer_frac": round(grad_frac, 4),
         "n_sort_slots": n_slots,
     }))
 

@@ -125,6 +125,7 @@ def main(argv=None) -> int:
     sh_degree = int(rmeta.get("sh_degree_max", 3))
     rasterize_mode = str(rmeta.get("rasterize_mode", "classic"))
     sort_buckets = int(rmeta.get("sort_buckets", 0))
+    reduce_slices = int(rmeta.get("reduce_slices", 0))
     bucket_headroom = float(rmeta.get("partition_headroom", 1.5))
     budgets = rmeta.get("class_budgets")
     budgets = tuple(int(b) for b in budgets) if budgets else None
@@ -141,6 +142,7 @@ def main(argv=None) -> int:
                    tile_size=tile_size, raster_chunk=raster_chunk,
                    max_tiles_per_gaussian=max_tiles, class_budgets=budgets,
                    sort_buckets=sort_buckets, bucket_headroom=bucket_headroom,
+                   reduce_slices=reduce_slices,
                    rasterize_mode=rasterize_mode)
         return jnp.clip(o.render, 0.0, 1.0)
 
@@ -182,6 +184,7 @@ def main(argv=None) -> int:
                            class_budgets=budgets,
                            sort_buckets=sort_buckets,
                            bucket_headroom=bucket_headroom,
+                           reduce_slices=reduce_slices,
                            rasterize_mode=rasterize_mode)
                 d = jnp.clip(o.render, 0, 1) - gt
                 return jnp.mean(d * d)

@@ -446,7 +446,7 @@ def _bwd_kernel(starts_ref, counts_ref, soa_ref, aux_ref, grad_ref, meta_ref,
 def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
                grad_cap_mult=8, class_budgets=None, depth_bits=0,
                grad_frac=1.0, depth_grad=True, sort_buckets=0,
-               bucket_headroom=1.5):
+               bucket_headroom=1.5, reduce_slices=0):
     P = ts * ts
     T = ntx * nty
     n_slots = total_slots(N, max_t, class_budgets)
@@ -557,8 +557,7 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
         grad_padded, meta = bwd_call(tile_starts, counts, soa, aux)
         gr = reduce_padded_grads(grad_padded, N, meta[0, 0],
                                  interpret=interpret, with_depth=depth_grad,
-                                 sort_buckets=sort_buckets,
-                                 bucket_headroom=bucket_headroom)
+                                 sort_slices=reduce_slices)
         d_means2d = jnp.stack([gr["dmx"], gr["dmy"]], axis=-1)
         d_conics = jnp.stack([gr["dca"], gr["dcb"], gr["dcc"]], axis=-1)
         d_colors = jnp.stack([gr["dr"], gr["dg"], gr["db"]], axis=-1)
@@ -568,29 +567,15 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
         """Exact gradient-buffer occupancy: run binning + forward + one
         backward sweep (unit cotangents — occupancy depends only on segment
         counts and early termination, not on the cotangent values) and
-        return the kernel's (n_written, n_dropped) meta. With the bucketed
-        reduce, n_dropped additionally counts reduce-bucket overflow (the
-        same remedy applies: the trainer raises grad_buffer_frac, which
-        grows grad_cap and with it every bucket's capacity)."""
+        return the kernel's (n_written, n_dropped) meta. (The sliced
+        reduce is drop-free — slices are static positional segments — so
+        kernel-level drops are the only reduce-side loss to police.)"""
         b = _binned(means2d, conics, colors, opacities, depths, radii)
         out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
         aux = jnp.concatenate([jnp.ones_like(out), out], axis=1)
         grad_padded, meta = bwd_call(b.tile_starts, b.counts, b.sorted_soa,
                                      aux)
-        n_drop = meta[0, 1]
-        if sort_buckets:
-            from gaussian_splatting_tpu.ops.tiling import partition_grads
-
-            B = int(sort_buckets)
-            Nb = cdiv(N, B)
-            C = 512 if grad_cap % 512 == 0 else (
-                256 if grad_cap % 256 == 0 else 128)
-            sentinels = tuple(float(Nb * B + k) for k in range(B))
-            _, _, drops_b = partition_grads(
-                grad_padded, B, sentinels, meta[0, 0], C,
-                bucket_headroom, interpret)
-            n_drop = n_drop + jnp.sum(drops_b)
-        return meta[0, 0], n_drop, jnp.int32(grad_cap)
+        return meta[0, 0], meta[0, 1], jnp.int32(grad_cap)
 
     core.defvjp(fwd, bwd)
     core.probe_meta = probe_meta
@@ -615,6 +600,7 @@ def rasterize_tiled(
     grad_buffer_frac=1.0,
     sort_buckets=0,
     bucket_headroom=1.5,
+    reduce_slices=0,
     interpret=None,
     with_stats=False,
     depth_grad=True,
@@ -631,12 +617,13 @@ def rasterize_tiled(
     depth output (a photometric-only loss): d_depths comes back zero and the
     backward reduce drops one sort payload (~4 ms at the 1M bench).
 
-    ``sort_buckets = B > 0`` (power of two) routes BOTH the binning sort and
-    the gradient-reduce sort through the Pallas bucket partition + batched
-    per-bucket sorts (see tiling.isect_and_sort / reduce_padded_grads) —
-    the flat 4M+-entry XLA sorts were 52% of the round-2 step. Bucket
-    overflow is counted: binning drops fold into the n_budget_dropped stat;
-    reduce drops surface through rasterize_grad_meta.
+    ``sort_buckets = B > 0`` (power of two) routes the BINNING sort
+    through the Pallas bucket partition + per-bucket sorts
+    (tiling.isect_and_sort); bucket overflow is counted (folds into the
+    n_budget_dropped stat). ``reduce_slices = K > 1`` routes the
+    GRADIENT-REDUCE sort through K sliced sorts + segsums (drop-free; see
+    reduce_padded_grads). The flat 4M+-entry XLA sorts these replace were
+    52% of the round-2 step.
     """
     N = means2d.shape[0]
     ts = tile_size
@@ -654,7 +641,8 @@ def rasterize_tiled(
                       grad_frac=float(grad_buffer_frac),
                       depth_grad=bool(depth_grad),
                       sort_buckets=int(sort_buckets),
-                      bucket_headroom=float(bucket_headroom))
+                      bucket_headroom=float(bucket_headroom),
+                      reduce_slices=int(reduce_slices))
     out, n_isect, n_dropped, n_budget_dropped, n_grad_dropped = core(
         means2d, conics, colors, opacities, depths, radii)
 

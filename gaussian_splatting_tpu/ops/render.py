@@ -54,6 +54,7 @@ def render(
     grad_buffer_frac: float = 1.0,
     sort_buckets: int = 0,
     bucket_headroom: float = 1.5,
+    reduce_slices: int = 0,
     rasterize_mode: str = "classic",
     with_stats: bool = False,
     depth_grad: bool = True,
@@ -109,6 +110,7 @@ def render(
             class_budgets=class_budgets, depth_bits=depth_bits,
             grad_buffer_frac=grad_buffer_frac,
             sort_buckets=sort_buckets, bucket_headroom=bucket_headroom,
+            reduce_slices=reduce_slices,
             with_stats=with_stats,
             depth_grad=depth_grad,
         )

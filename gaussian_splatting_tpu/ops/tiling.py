@@ -731,8 +731,7 @@ def _bucket_binned(tile_key, quantity_cols, T, M, chunk, B, headroom,
 
 def reduce_padded_grads(grad_soa: jnp.ndarray, n_gaussians: int,
                         n_written: jnp.ndarray, interpret=None,
-                        with_depth: bool = True, sort_buckets: int = 0,
-                        bucket_headroom: float = 1.5):
+                        with_depth: bool = True, sort_slices: int = 0):
     """Per-gaussian gradient reduction — sort-based, scatter-free.
 
     grad_soa: (16, pcap) backward-kernel output; row 0 carries the gaussian
@@ -751,53 +750,36 @@ def reduce_padded_grads(grad_soa: jnp.ndarray, n_gaussians: int,
     whenever the caller guarantees the depth output has no cotangent (the
     photometric training step; see rasterize_tiled(depth_grad=False)).
 
-    ``sort_buckets = B > 0`` (power of two): bucket-partition by
-    ``gid % B`` (ops/partition.py, n_valid = n_written discards the
-    uninitialized tail in-kernel), batched per-bucket sorts, then remap
-    each bucket's ids to a contiguous global range so ONE unchanged segsum
-    sweep reduces all buckets: gid g of bucket k = g % B remaps to
-    ``k*Nb + g//B`` (exact f32: ints < 2^24, B a power of two), ascending
-    across the concatenated buckets by construction. The de-interleave
-    back to id order is one (16, B, Nb) transpose. Bucket-capacity
-    overflow loses gradient entries — counted by ``reduce_grad_meta`` and
-    policed by the trainer's grad-buffer probe, mirroring grad_cap drops.
+    ``sort_slices = K > 1``: the reduce needs per-gaussian SUMS, not a
+    global order — and sums are associative. Slice the stream into K
+    static contiguous segments, sort each separately (``lax.sort`` cost is
+    strongly superlinear in row length — K small sorts beat one big one;
+    BENCH.md), segsum each slice, add the K (16, N) outputs. Exact (f32
+    summation order changes, like any re-bucketing), drop-free (unlike the
+    round-2 bucket-partition reduce, which this replaces), zero new
+    kernels.
     """
     from gaussian_splatting_tpu.ops.segsum import segment_sum_sorted
 
     pcap = grad_soa.shape[1]
     n_pay = 10 if with_depth else 9
-    if sort_buckets:
-        B = int(sort_buckets)
-        Nb = cdiv(n_gaussians, B)
-        # grad_cap is chunk-aligned; pick the largest partition chunk that
-        # divides it (the kernel's per-chunk cost amortizes with C).
-        C = 512 if pcap % 512 == 0 else (256 if pcap % 256 == 0 else 128)
-        assert pcap % C == 0, f"grad buffer width {pcap} not 128-aligned"
-        # Per-bucket pad sentinel Nb*B + k remaps to exactly (k+1)*Nb — the
-        # next bucket's base — keeping the remapped key sequence ascending
-        # with zero payload (the segsum pad contract).
-        sentinels = tuple(float(Nb * B + k) for k in range(B))
-        out, counts_b, drops_b = partition_grads(
-            grad_soa, B, sentinels, n_written, C, bucket_headroom, interpret)
-        ops = tuple(out[r] for r in range(1 + n_pay))
-        srt = jax.lax.sort(ops, num_keys=1, dimension=1)
-        karr = jnp.arange(B, dtype=jnp.float32)[:, None]
-        idg = karr * Nb + (srt[0] - karr) * (1.0 / B)     # exact: B pow2
-        rows = (idg.reshape(-1),) + tuple(s.reshape(-1) for s in srt[1:])
-        stacked = pack_rows(rows, sentinel=float(Nb * B), interpret=interpret)
-        sums = segment_sum_sorted(stacked, Nb * B, interpret=interpret)
-        # De-interleave: gaussian g = j*B + k lives at column k*Nb + j.
-        sums = jnp.swapaxes(sums.reshape(16, B, Nb), 1, 2).reshape(
-            16, B * Nb)[:, :n_gaussians]
-    else:
-        pos_ok = jnp.arange(pcap) < n_written
-        key = jnp.where(pos_ok, grad_soa[0], float(n_gaussians))
-        payloads = tuple(jnp.where(pos_ok, grad_soa[i], 0.0)
-                         for i in range(1, 1 + n_pay))
+    K = max(int(sort_slices), 1)
+    if pcap % K != 0:
+        K = 1  # grad_cap not sliceable at this K; fall back to the flat sort
+    m = pcap // K
+    parts = []
+    for i in range(K):
+        pos_ok = jnp.arange(i * m, (i + 1) * m) < n_written
+        sl = lambda r: jax.lax.slice_in_dim(grad_soa[r], i * m, (i + 1) * m)
+        key = jnp.where(pos_ok, sl(0), float(n_gaussians))
+        payloads = tuple(jnp.where(pos_ok, sl(r), 0.0)
+                         for r in range(1, 1 + n_pay))
         sorted_ops = jax.lax.sort((key,) + payloads, num_keys=1)
         stacked = pack_rows(sorted_ops, sentinel=float(n_gaussians),
                             interpret=interpret)
-        sums = segment_sum_sorted(stacked, n_gaussians, interpret=interpret)
+        parts.append(segment_sum_sorted(stacked, n_gaussians,
+                                        interpret=interpret))
+    sums = parts[0] if K == 1 else sum(parts[1:], start=parts[0])
     return {
         "dmx": sums[1], "dmy": sums[2],
         "dca": sums[3], "dcb": sums[4], "dcc": sums[5],
@@ -806,16 +788,3 @@ def reduce_padded_grads(grad_soa: jnp.ndarray, n_gaussians: int,
         "ddepth": sums[10] if with_depth
         else jnp.zeros((n_gaussians,), jnp.float32),
     }
-
-
-def partition_grads(grad_soa, B, sentinels, n_written, C=256,
-                    headroom=1.5, interpret=None):
-    """gid-modulo bucket partition of the backward kernel's gradient stream
-    (row 0 = gid key): shared by reduce_padded_grads and the occupancy
-    probe (which reports its drops)."""
-    from gaussian_splatting_tpu.ops.partition import partition_soa, quantum_for
-
-    q = quantum_for(C, B, headroom)
-    return partition_soa(
-        grad_soa, B, q, key_row=0, sentinel=sentinels,
-        n_valid=n_written, C=C, interpret=interpret)

@@ -29,6 +29,7 @@ from jax.sharding import PartitionSpec as P
 
 from gaussian_splatting_tpu.core.activations import opacity_activation, scale_activation
 from gaussian_splatting_tpu.core.quaternions import quat_normalize
+from gaussian_splatting_tpu.core.se3 import apply_pose_delta
 from gaussian_splatting_tpu.core.sh import sh_to_color
 from gaussian_splatting_tpu.ops.projection import project_gaussians
 from gaussian_splatting_tpu.ops.rasterize_ref import rasterize_reference
@@ -39,7 +40,12 @@ from gaussian_splatting_tpu.training.optimizer import (
     group_lrs,
     xyz_lr_schedule,
 )
-from gaussian_splatting_tpu.training.step import TrainState, ViewBatch
+from gaussian_splatting_tpu.training.step import (
+    PoseState,
+    TrainState,
+    ViewBatch,
+    pose_lr_schedule,
+)
 
 
 def _halo_extend_rows(img, axis_name):
@@ -96,11 +102,14 @@ def make_sharded_train_step(
     band_h = cdiv(cdiv(height, ts), M) * ts
     h_pad = M * band_h
     lam = config.lambda_dssim
+    optimize_poses = bool(getattr(config, "optimize_poses", False))
 
-    def local_loss(params, alive, images, viewmats, Ks):
+    def local_loss(params, alive, deltas, images, viewmats, Ks, view_idx):
         """Runs per-shard inside shard_map. ``params``/``alive`` arrive as
         this chip's gaussian SHARD (ZeRO: C/M rows of every tensor);
-        images: (Bl, band_h, W, 3); viewmats/Ks: (Bl, ...)."""
+        ``deltas`` (V, 6) se(3) pose corrections arrive REPLICATED (the
+        shard_map transpose psums their cotangents across the mesh);
+        images: (Bl, band_h, W, 3); viewmats/Ks/view_idx: (Bl, ...)."""
         midx = jax.lax.axis_index("model")
         y0 = (midx * band_h).astype(jnp.float32)
         Cs = params.means.shape[0]
@@ -124,7 +133,9 @@ def make_sharded_train_step(
 
         def render_one(carry, view):
             l1_sum, ssim_sum, mse_sum, radii_max, s_acc = carry
-            gt, viewmat, K = view
+            gt, viewmat, K, vidx = view
+            if optimize_poses:
+                viewmat = apply_pose_delta(viewmat, deltas[vidx])
             proj = project_gaussians(
                 means_s, quats_s, scales_s, viewmat, K, width, height,
                 opacities=opac_s,
@@ -165,6 +176,7 @@ def make_sharded_train_step(
                     grad_buffer_frac=config.grad_buffer_frac,
                     sort_buckets=config.sort_buckets,
                     bucket_headroom=config.partition_headroom,
+                    reduce_slices=config.reduce_slices,
                     with_stats=True,
                     depth_grad=False,
                 )
@@ -194,7 +206,7 @@ def make_sharded_train_step(
             (jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
              jnp.zeros((C_full,), jnp.int32),
              {k: jnp.int32(0) for k in stat_keys}),
-            (images, viewmats, Ks),
+            (images, viewmats, Ks, view_idx),
         )
 
         # Reduce over the whole mesh; normalize to global means.
@@ -230,9 +242,11 @@ def make_sharded_train_step(
         in_specs=(
             P("model"),               # params: ZeRO-sharded over gaussians
             P("model"),               # alive: sharded with the params
+            P(),                      # pose deltas: replicated (V, 6)
             P("data", "model", None, None),  # images: views x bands
             P("data", None, None),    # viewmats per-view
             P("data", None, None),    # Ks
+            P("data"),                # view_idx per-view
         ),
         out_specs=(P(), ({k: P() for k in metric_keys}, P("model"))),
         check_vma=False,
@@ -256,10 +270,14 @@ def make_sharded_train_step(
 
     def step(state: TrainState, batch: ViewBatch):
         state = shard_state(state)
+        pose_on = optimize_poses and state.poses is not None
+        view_idx = (batch.view_idx if batch.view_idx is not None
+                    else jnp.zeros((batch.images.shape[0],), jnp.int32))
 
-        def loss_fn(params):
+        def loss_fn(params, deltas):
             loss, (metrics, radii_max) = sharded_loss(
-                params, state.gauss.alive, batch.images, batch.viewmats, batch.Ks
+                params, state.gauss.alive, deltas,
+                batch.images, batch.viewmats, batch.Ks, view_idx,
             )
             reg = scale_ratio_reg(
                 params.log_scales, state.gauss.alive,
@@ -267,8 +285,11 @@ def make_sharded_train_step(
             )
             return loss + reg, (dict(metrics, scale_reg=reg), radii_max)
 
-        (loss, (metrics, radii_max)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.gauss.params)
+        deltas_in = (state.poses.deltas if pose_on
+                     else jnp.zeros((1, 6), jnp.float32))
+        (loss, (metrics, radii_max)), (grads, grads_pose) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(
+                state.gauss.params, deltas_in)
         xyz_lr = xyz_lr_schedule(config, state.iteration)
         lrs = group_lrs(config, xyz_lr)
         new_params, new_opt = adam_update(
@@ -287,8 +308,27 @@ def make_sharded_train_step(
             xyz_grad_count=state.gauss.xyz_grad_count + 1.0,
             max_radii2d=jnp.maximum(state.gauss.max_radii2d, radii_max),
         )
+        # Pose refinement: identical Adam form to the single-chip step
+        # (training/step.py) — the (V, 6) state is replicated, so the update
+        # runs identically on every chip.
+        new_poses = state.poses
+        if pose_on:
+            plr = pose_lr_schedule(config, state.iteration)
+            gp = jnp.where(plr > 0.0, grads_pose, 0.0)
+            t = new_opt.step.astype(jnp.float32)
+            c1 = 1.0 - config.adam_b1 ** t
+            c2 = 1.0 - config.adam_b2 ** t
+            mu = config.adam_b1 * state.poses.mu + (1.0 - config.adam_b1) * gp
+            nu = config.adam_b2 * state.poses.nu + (1.0 - config.adam_b2) * gp * gp
+            deltas = state.poses.deltas - plr * (mu / c1) / (
+                jnp.sqrt(nu / c2) + config.adam_eps)
+            new_poses = PoseState(deltas=deltas, mu=mu, nu=nu)
+            metrics["pose_lr"] = plr
+            metrics["grad_norm/poses"] = jnp.linalg.norm(grads_pose)
+            metrics["pose/delta_max"] = jnp.max(jnp.abs(deltas))
         new_state = shard_state(
-            TrainState(gauss=gauss, opt=new_opt, iteration=state.iteration + 1))
+            TrainState(gauss=gauss, opt=new_opt, iteration=state.iteration + 1,
+                       poses=new_poses))
         # Per-group gradient norms — keep mesh runs logging everything the
         # single-chip step does (training/step.py).
         gn = {

@@ -84,15 +84,17 @@ class TrainingConfig:
     # >0 packs (tile << bits | quantized depth) into ONE int32 sort key
     # (cheaper compare; blend order of nearly-equal depths quantizes).
     sort_depth_bits: int = 0
-    # >0 (power of two): route the binning sort AND the gradient-reduce
-    # sort through the Pallas bucket partition + B batched per-bucket
-    # sorts (ops/partition.py) — lax.sort runs ~5x cheaper per entry at
-    # rows <= 1M than at the flat 4M+ length (BENCH.md). Overflow of a
-    # bucket's static capacity (M/B * partition_headroom) is counted,
-    # never silent. Ignores sort_depth_bits (bucket sorts use the exact
-    # two-key compare).
+    # >0 (power of two): route the BINNING sort through the Pallas bucket
+    # partition + B per-bucket sorts (ops/partition.py) — lax.sort runs
+    # ~5x cheaper per entry at rows <= 1M than at the flat 4M+ length
+    # (BENCH.md). Per-chunk quantum overflow is counted, never silent.
+    # Ignores sort_depth_bits (bucket sorts use the exact two-key compare).
     sort_buckets: int = 0
     partition_headroom: float = 1.5
+    # >1: the gradient-reduce sorts K static slices separately and adds the
+    # per-slice segsums (sums are associative; order is irrelevant) —
+    # drop-free, no partition kernel, rides the same small-sort rate.
+    reduce_slices: int = 0
     class_budgets: Optional[tuple] = None
     # Gradient-buffer capacity as a fraction of the exact bound (the sort
     # slot count). The gid payload sort over this buffer is the costliest

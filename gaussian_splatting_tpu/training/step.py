@@ -131,6 +131,7 @@ def make_train_step(
                     grad_buffer_frac=config.grad_buffer_frac,
                     sort_buckets=config.sort_buckets,
                     bucket_headroom=config.partition_headroom,
+                    reduce_slices=config.reduce_slices,
                     rasterize_mode=config.rasterize_mode,
                     with_stats=want_stats,
                     # The training loss is photometric (L1 + DSSIM on RGB):

@@ -233,6 +233,7 @@ class GaussianTrainer:
                 "rasterize_mode": cfg.rasterize_mode,
                 "sort_buckets": cfg.sort_buckets,
                 "partition_headroom": cfg.partition_headroom,
+                "reduce_slices": cfg.reduce_slices,
             },
         }
 
@@ -293,16 +294,10 @@ class GaussianTrainer:
         if cfg.optimize_poses and state.poses is None:
             from gaussian_splatting_tpu.training.step import pose_state_init
 
-            if cfg.mesh_data * cfg.mesh_tile > 1:
-                log.warning("optimize_poses is single-chip only for now; "
-                            "disabling under a mesh")
-                cfg = cfg.replace(optimize_poses=False)
-                self.config = cfg
-            else:
-                state = state._replace(poses=pose_state_init(V))
-                log.info("pose refinement on: %d views, lr %.1e -> %.1e "
-                         "from iter %d", V, cfg.pose_lr_init,
-                         cfg.pose_lr_final, cfg.pose_start_iter)
+            state = state._replace(poses=pose_state_init(V))
+            log.info("pose refinement on: %d views, lr %.1e -> %.1e "
+                     "from iter %d", V, cfg.pose_lr_init,
+                     cfg.pose_lr_final, cfg.pose_start_iter)
         log.info("capacity %d, alive %d", state.gauss.capacity, int(state.gauss.n_alive()))
 
         # Adaptive tile-footprint cap: a fixed max_tiles_per_gaussian
@@ -403,6 +398,7 @@ class GaussianTrainer:
                         batch = ViewBatch(
                             images=pad_images_for_bands(batch.images, _hp),
                             viewmats=batch.viewmats, Ks=batch.Ks,
+                            view_idx=batch.view_idx,
                         )
                         return _s(state, batch)
 
@@ -614,12 +610,11 @@ class GaussianTrainer:
             # only a conservative bound — probe the EXACT kernel occupancy
             # on one train view and grow the frac (hysteresis recompile,
             # like class rebudgets) when drops or near-full occupancy show.
-            # With the bucketed reduce (sort_buckets > 0) the probe also
-            # counts reduce-bucket overflow, and growing the frac grows
-            # every bucket's capacity — so the probe runs in that mode even
-            # at frac 1.0.
-            if (self.backend == "pallas" and mesh is None
-                    and (cfg.grad_buffer_frac < 1.0 or cfg.sort_buckets > 0)
+            # (The sliced reduce is drop-free, so only a shrunk buffer
+            # needs policing. Under a mesh the probe renders full-height on
+            # gathered shards — a conservative upper bound for every band.)
+            if (self.backend == "pallas"
+                    and cfg.grad_buffer_frac < 1.0
                     and it % cfg.val_interval == 0):
                 try:
                     from gaussian_splatting_tpu.ops.render import render_grad_meta
@@ -716,7 +711,7 @@ class GaussianTrainer:
         cfg = self.config
         key = (sh_degree, width, height, capacity,
                cfg.max_tiles_per_gaussian, cfg.class_budgets,
-               cfg.sort_buckets)
+               cfg.sort_buckets, cfg.reduce_slices)
         cache = getattr(self, "_val_cache", None)
         if cache is None:
             cache = self._val_cache = {}
@@ -734,6 +729,7 @@ class GaussianTrainer:
                     class_budgets=cfg.class_budgets,
                     sort_buckets=cfg.sort_buckets,
                     bucket_headroom=cfg.partition_headroom,
+                    reduce_slices=cfg.reduce_slices,
                     rasterize_mode=cfg.rasterize_mode,
                 )
                 return jnp.clip(out.render, 0.0, 1.0)
@@ -775,6 +771,7 @@ class GaussianTrainer:
                             class_budgets=cfg.class_budgets,
                             sort_buckets=cfg.sort_buckets,
                             bucket_headroom=cfg.partition_headroom,
+                            reduce_slices=cfg.reduce_slices,
                             rasterize_mode=cfg.rasterize_mode,
                         )
                         d = jnp.clip(out.render, 0, 1) - gt

@@ -27,14 +27,14 @@ def _grad_stream(rng, N, pcap, n_written, wide=True):
 KEYS = ["dmx", "dmy", "dca", "dcb", "dcc", "dop", "dr", "dg", "db", "ddepth"]
 
 
-@pytest.mark.parametrize("buckets", [0, 4])
-def test_reduce_matches_direct_sum(rng, buckets):
+@pytest.mark.parametrize("slices", [0, 4])
+def test_reduce_matches_direct_sum(rng, slices):
     N, pcap = 2000, 100_096  # 256-aligned width, like the kernel's grad_cap
     n_written = 80_000
     ids, grads = _grad_stream(rng, N, pcap, n_written)
 
     out = reduce_padded_grads(jnp.asarray(grads), N, jnp.int32(n_written),
-                              sort_buckets=buckets)
+                              sort_slices=slices)
 
     direct = np.zeros((10, N), np.float64)
     for q in range(10):
@@ -49,18 +49,21 @@ def test_reduce_matches_direct_sum(rng, buckets):
                                    rtol=1e-4, err_msg=k)
 
 
-def test_reduce_bucketed_matches_flat(rng):
-    """The bucketed reduce (partition + batched sorts + remapped segsum) ==
-    the flat reduce, to f32 summation-order tolerance."""
+def test_reduce_sliced_matches_flat(rng):
+    """The sliced reduce (per-slice sorts + segsums, summed) == the flat
+    reduce, to f32 summation-order tolerance. Slicing is drop-free: every
+    entry lands in exactly one static slice."""
     N, pcap = 1000, 50_176
     n_written = 40_000
     _, grads = _grad_stream(rng, N, pcap, n_written, wide=False)
     flat = reduce_padded_grads(jnp.asarray(grads), N, jnp.int32(n_written))
-    buck = reduce_padded_grads(jnp.asarray(grads), N, jnp.int32(n_written),
-                               sort_buckets=8)
-    for k in KEYS:
-        np.testing.assert_allclose(np.asarray(buck[k]), np.asarray(flat[k]),
-                                   atol=1e-4, rtol=1e-5, err_msg=k)
+    for K in (7, 8):  # 7 does not divide pcap -> exercises the K=1 fallback
+        sliced = reduce_padded_grads(jnp.asarray(grads), N,
+                                     jnp.int32(n_written), sort_slices=K)
+        for k in KEYS:
+            np.testing.assert_allclose(np.asarray(sliced[k]),
+                                       np.asarray(flat[k]),
+                                       atol=1e-4, rtol=1e-5, err_msg=k)
 
 
 def test_reduce_without_depth_payload(rng):

@@ -119,3 +119,43 @@ def test_graft_entry_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_pose_refine_matches_single_chip(rng):
+    """Pose refinement under a mesh: the replicated (V, 6) se(3) state gets
+    the same gradient (shard_map transposes replicated inputs with a psum)
+    and the same Adam update as the single-chip step."""
+    from gaussian_splatting_tpu.training.step import pose_state_init
+
+    ds, ts = _setup(rng)
+    V = ds.viewmats.shape[0]
+    ts = ts._replace(poses=pose_state_init(V),
+                     iteration=jnp.full((), 5, jnp.int32))
+    cfg = TrainingConfig(batch_size=2, backend="ref", optimize_poses=True,
+                         pose_start_iter=0, pose_lr_init=1e-3,
+                         pose_lr_final=1e-4)
+    mesh = make_mesh(data=2, model=2)
+    sstep, band_h, h_pad = make_sharded_train_step(
+        cfg, mesh, ds.width, ds.height, 0, "ref", 2.0, donate=False)
+    step1 = make_train_step(cfg, ds.width, ds.height, 0, "ref", 2.0,
+                            donate=False)
+
+    imgs = jnp.asarray(ds.images[:2], jnp.float32) / 255.0
+    vidx = jnp.asarray([0, 1], jnp.int32)
+    batch1 = ViewBatch(images=imgs, viewmats=jnp.asarray(ds.viewmats[:2]),
+                       Ks=jnp.asarray(ds.Ks[:2]), view_idx=vidx)
+    batchN = ViewBatch(images=pad_images_for_bands(imgs, h_pad),
+                       viewmats=jnp.asarray(ds.viewmats[:2]),
+                       Ks=jnp.asarray(ds.Ks[:2]), view_idx=vidx)
+
+    ts1, m1 = step1(ts, batch1)
+    tsN, mN = sstep(ts, batchN)
+    d1 = np.asarray(ts1.poses.deltas)
+    dN = np.asarray(tsN.poses.deltas)
+    assert np.abs(d1[:2]).max() > 0, "pose update must actually move"
+    np.testing.assert_allclose(dN, d1, rtol=1e-4, atol=1e-7)
+    # Views not in the batch stay exactly zero.
+    assert np.all(d1[2:] == 0) and np.all(dN[2:] == 0)
+    np.testing.assert_allclose(float(mN["grad_norm/poses"]),
+                               float(m1["grad_norm/poses"]),
+                               rtol=1e-4, atol=1e-7)

@@ -218,7 +218,7 @@ def test_compact_binning_matches_dense(rng):
 
 
 def test_bucketed_sort_matches_flat(rng):
-    """Partition-bucketed binning + bucketed gradient reduce == the flat
+    """Partition-bucketed binning + sliced gradient reduce == the flat
     sorts: pixels bit-close, gradients allclose (summation grouping in the
     segsum windows differs, so exact equality is not required), both in
     dense and compact class-budget modes."""
@@ -232,7 +232,8 @@ def test_bucketed_sort_matches_flat(rng):
         return rasterize_tiled(
             m, c, col, o, d, radii, width, height, tile_size=16,
             chunk=128, max_tiles_per_gaussian=32, class_budgets=cb,
-            sort_buckets=buckets, bucket_headroom=1.3, interpret=True)
+            sort_buckets=buckets, bucket_headroom=1.5,
+            reduce_slices=(4 if buckets else 0), interpret=True)
 
     for cb in (None, budgets):
         img_f, alpha_f, dep_f = f(0, cb, m, c, col, o, d)
