@@ -23,9 +23,24 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 def main():
     args = [a for a in sys.argv[1:] if a != "--multihost"]
+    if "--virtual" in args:
+        # Self-contained virtual-mesh mode (CI): N host CPU devices,
+        # no env wrangling needed. Must run before jax imports.
+        i = args.index("--virtual")
+        n_virt = int(args[i + 1])
+        del args[i:i + 2]
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={n_virt}")
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     n = int(args[0]) if len(args) > 0 else 65536
     side = int(args[1]) if len(args) > 1 else 256
 
@@ -37,9 +52,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gaussian_splatting_tpu.utils.cache import enable_compile_cache
+    import jax
 
-    enable_compile_cache()
+    if jax.default_backend() == "tpu":
+        # The persistent cache is keyed loosely enough that CPU AOT loads
+        # can pick up machine-mismatched blobs (observed: a stale entry
+        # deadlocked the 8-virtual-device collectives) — TPU only.
+        from gaussian_splatting_tpu.utils.cache import enable_compile_cache
+
+        enable_compile_cache()
 
     from gaussian_splatting_tpu.models.gaussians import init_from_points
     from gaussian_splatting_tpu.parallel.mesh import make_mesh

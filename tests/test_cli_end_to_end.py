@@ -16,6 +16,7 @@ def video(tmp_path_factory):
     return str(path)
 
 
+@pytest.mark.slow
 def test_train_then_eval_cli(video, tmp_path):
     from gaussian_splatting_tpu.train_cli import main as train_main
     from gaussian_splatting_tpu.eval_cli import main as eval_main

@@ -84,6 +84,7 @@ def test_reduce_without_depth_payload(rng):
     assert (np.asarray(slim["ddepth"]) == 0).all()
 
 
+@pytest.mark.slow
 def test_rasterize_depth_grad_flag(rng):
     """rasterize_tiled(depth_grad=False): identical non-depth gradients to
     the default path, zero d_depths — valid because the test loss (like the

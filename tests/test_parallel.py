@@ -37,6 +37,7 @@ def test_mesh_creation():
     assert mesh.shape == {"data": 2, "model": 4}
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dm", [(2, 4), (4, 2), (1, 8)])
 def test_sharded_step_runs_and_descends(rng, dm):
     d, m = dm
@@ -159,3 +160,28 @@ def test_sharded_pose_refine_matches_single_chip(rng):
     np.testing.assert_allclose(float(mN["grad_norm/poses"]),
                                float(m1["grad_norm/poses"]),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_backward_hlo_uses_reduce_scatter(rng):
+    """The gathered screen tensors' backward must come back as
+    reduce-scatter (per-gaussian gradients arrive already sharded), not as
+    a full all-reduce + slice — the ICI traffic claim in ARCHITECTURE.md.
+    collective-permute = the SSIM halo exchange."""
+    import re
+
+    ds, ts = _setup(rng)
+    cfg = TrainingConfig(batch_size=2, backend="ref")
+    mesh = make_mesh(data=2, model=4)
+    step, band_h, h_pad = make_sharded_train_step(
+        cfg, mesh, ds.width, ds.height, 0, "ref", 2.0, donate=False)
+    imgs = pad_images_for_bands(
+        jnp.asarray(ds.images[:2], jnp.float32) / 255.0, h_pad)
+    batch = ViewBatch(images=imgs, viewmats=jnp.asarray(ds.viewmats[:2]),
+                      Ks=jnp.asarray(ds.Ks[:2]))
+    txt = step.lower(ts, batch).compile().as_text()
+    counts = {op: len(re.findall(op, txt))
+              for op in ("reduce-scatter", "all-gather",
+                         "collective-permute")}
+    assert counts["reduce-scatter"] >= 1, counts
+    assert counts["all-gather"] >= 1, counts
+    assert counts["collective-permute"] >= 1, counts

@@ -1,6 +1,7 @@
 """Pallas kernels inside shard_map: the multi-chip rasterization path with
 the real kernel code (interpret mode on the virtual CPU mesh)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -16,6 +17,7 @@ from gaussian_splatting_tpu.training.optimizer import adam_init
 from gaussian_splatting_tpu.training.step import TrainState, ViewBatch
 
 
+@pytest.mark.slow
 def test_sharded_step_with_pallas_kernels(rng):
     pts = rng.normal(size=(96, 3)).astype(np.float32) * 0.5
     gauss = init_from_points(pts, None, 96, capacity=128)

@@ -120,6 +120,7 @@ def _gt_scene(rng, n_views=4, width=48, height=48, n_gauss=40):
     return params, np.asarray(K), np.stack(vms), np.stack(images)
 
 
+@pytest.mark.slow
 def test_pose_refinement_recovers_perturbation(rng):
     """Freeze the (ground-truth) gaussians, perturb every camera pose by a
     known se(3) twist, and let the pose optimizer pull them back: the loss

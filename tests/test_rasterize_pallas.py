@@ -113,6 +113,7 @@ def test_pallas_forward_matches_oracle(rng, shape):
     np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_multichunk_and_early_stop(rng):
     """A dense opaque cluster forces multiple chunks per tile and hits the
     early-termination path."""
@@ -182,6 +183,7 @@ def test_pallas_gradients_match_oracle(rng):
                                    err_msg=f"grad mismatch: {name}")
 
 
+@pytest.mark.slow
 def test_compact_binning_matches_dense(rng):
     """Compact footprint-class binning == dense slot layout, pixels AND
     gradients, when every class has enough budget."""
@@ -217,6 +219,7 @@ def test_compact_binning_matches_dense(rng):
                                    err_msg=f"compact grad mismatch: {name}")
 
 
+@pytest.mark.slow
 def test_bucketed_sort_matches_flat(rng):
     """Partition-bucketed binning + sliced gradient reduce == the flat
     sorts: pixels bit-close, gradients allclose (summation grouping in the
@@ -262,6 +265,7 @@ def test_bucketed_sort_matches_flat(rng):
                                    err_msg=f"bucketed grad mismatch: {name}")
 
 
+@pytest.mark.slow
 def test_bucketed_binning_overflow_counted(rng):
     """Starved bucket capacities (headroom << 1) must drop intersections
     with an accounted stat, finite render, and exact occupancy reporting
@@ -308,6 +312,7 @@ def test_bucketed_binning_overflow_counted(rng):
     assert int(nd2) == 0 and int(nw2) > 0
 
 
+@pytest.mark.slow
 def test_compact_budget_overflow_counted(rng):
     """Tight class budgets drop whole gaussians — the drops must be counted
     in n_budget_dropped and the render must stay finite."""
@@ -345,6 +350,7 @@ def test_tile_cap_overflow_counted(rng):
                           "n_grad_dropped"}
 
 
+@pytest.mark.slow
 def test_grad_cap_overflow_counted_and_survivable(rng):
     """Dense mode caps the gradient buffer at grad_cap_mult*N entries; a
     heavy-overlap scene (every splat covers most tiles, low opacity so no
@@ -414,6 +420,7 @@ def test_quantized_depth_key(rng):
     np.testing.assert_allclose(np.asarray(img_q), np.asarray(img_e), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_opacity_cull_is_exact(rng):
     """Gaussians with opacity < 1/255 are culled in binning; pixels and
     gradients must equal the oracle (whose alpha-skip gate zeroes them)."""
@@ -448,6 +455,7 @@ def test_opacity_cull_is_exact(rng):
     assert np.all(np.asarray(g_pal[1])[::3] == 0.0)
 
 
+@pytest.mark.slow
 def test_ellipse_cull_exact(rng):
     """The conservative ellipse-tile cull removes a large fraction of bbox
     tiles for anisotropic gaussians yet leaves pixels AND gradients equal to
@@ -504,6 +512,7 @@ def test_ellipse_cull_exact(rng):
                                    err_msg=f"grad mismatch: {name}")
 
 
+@pytest.mark.slow
 def test_full_render_pallas_vs_ref_3d(rng):
     """End-to-end 3D: same camera/params through both backends, image + grads."""
     width = height = 32
@@ -564,6 +573,7 @@ def test_squeeze_budgets_under_pow2():
     assert out4 == budgets4
 
 
+@pytest.mark.slow
 def test_grad_buffer_frac_exact_and_starved(rng):
     """grad_buffer_frac < 1 shrinks the gradient buffer (and with it the
     reduce sort). (a) With enough headroom for the measured occupancy the

@@ -1,6 +1,7 @@
 """Oracle rasterizer vs an independent sequential NumPy implementation, plus
 analytic and gradient checks."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -118,6 +119,7 @@ def test_blend_weights_grad_finite_difference(rng):
         np.testing.assert_allclose(g[i, j], fd, rtol=2e-2, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_full_render_grad_finite_difference(rng):
     """End-to-end: grads of a scalar loss w.r.t. 3D means/scales/quats/opacity/SH
     match central finite differences."""

@@ -1,5 +1,6 @@
 """Trainer-level multi-chip path: full training loop on a 2x2 virtual mesh."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +11,7 @@ from gaussian_splatting_tpu.training.trainer import GaussianTrainer
 from test_training import _synthetic_scene
 
 
+@pytest.mark.slow
 def test_trainer_on_mesh(rng, tmp_path):
     assert len(jax.devices()) == 8
     ds, gt_means = _synthetic_scene(rng, n_views=6)

@@ -1,6 +1,7 @@
 """Training-layer tests: Adam parity vs torch, densify semantics, losses,
 checkpoint + PLY roundtrips, and a tiny end-to-end convergence run."""
 
+import pytest
 import dataclasses
 
 import jax
@@ -332,6 +333,7 @@ def test_train_step_descends(rng):
     assert int(ts.iteration) == 60
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(rng, tmp_path):
     """Full trainer loop on a synthetic scene: loss falls, PSNR rises,
     checkpoints + final PLY written, resume works."""
