@@ -119,7 +119,7 @@ def main():
     )()
     grad_frac = min(1.0, max(float(int(nw) + int(nd_k)) * 1.08, chunk)
                     / float(int(gcap)))
-    reduce_slices = 16
+    reduce_slices = 4
 
     # Honest timing: reps run inside ONE on-device fori_loop chained through
     # a carry (time_fn_device) — the remote execution layer can neither

@@ -1,13 +1,15 @@
-"""Rasterizer facade — backend selection, render caching, viewpoint batching.
+"""Rasterizer facade — backend selection and render caching.
 
 Functional counterpart of the reference ``GaussianRasterizer``
 (``gaussian_rasterizer.py:40-323``): backend selection ("auto" -> pallas ->
-ref, mirroring the reference's auto -> gsplat -> pytorch at ``:97-118``), a
-render cache keyed by view-matrix distance (< 0.01, reference ``:282-293``),
-and viewpoint grouping/batching (reference ``:181-217``). Like the reference
-— where production paths call ``backend.render_with_depth`` directly — the
-training loop bypasses this facade and jits ``ops.render.render``; the
-facade serves interactive/eval use.
+ref, mirroring the reference's auto -> gsplat -> pytorch at ``:97-118``) and
+a render cache keyed by view-matrix distance (< 0.01, reference ``:282-293``).
+``render_batch`` renders viewpoints sequentially (same-resolution views share
+one compiled executable) — the reference's viewpoint grouping (``:181-217``)
+is likewise unused by its production paths. Like the reference — where
+production calls ``backend.render_with_depth`` directly — the training loop
+bypasses this facade and jits ``ops.render.render``; the facade serves
+interactive/eval use.
 """
 
 from __future__ import annotations
@@ -98,8 +100,10 @@ class GaussianRasterizer:
         return out
 
     def render_batch(self, params, viewpoints: List[Dict], bg=None) -> List[RenderOut]:
-        """Group nearby viewpoints (reference ``:181-217``) and render each;
-        identical-resolution viewpoints share one compiled executable."""
+        """Render each viewpoint sequentially; identical-resolution
+        viewpoints share one compiled executable (the per-view render is
+        itself one fused jit program — there is no cross-view batching,
+        matching what the reference's production path actually does)."""
         return [self.render_single(params, vp, bg=bg) for vp in viewpoints]
 
     def render_with_depth(self, params, viewpoint: Dict, bg=None,

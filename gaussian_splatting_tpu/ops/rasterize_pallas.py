@@ -52,22 +52,24 @@ T_EARLY_STOP = 1e-4
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _triu_ones(n: int) -> jnp.ndarray:
-    """Static (n, n) upper-triangular ones: U[j, k] = 1 for j <= k.
-    ``x @ U`` is an inclusive prefix sum along lanes — ONE MXU matmul
-    replacing the log2(n) roll+add+select stages of a Hillis-Steele VPU
-    scan. The MXU sits mostly idle in the backward otherwise, so the matmul
-    is effectively free throughput. Hoisted out of the chunk loop."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    return (row <= col).astype(jnp.float32)
+def _prefix_sum_lanes(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Inclusive prefix sum along lanes — Hillis-Steele on the VPU
+    (log2(n) roll+add+select stages; f32-exact order change only).
 
-
-def _prefix_sum_lanes_mxu(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.dot_general(
-        x, tri, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PREC,
-    )
+    Round 2 ran this as ONE (K, K) upper-tri MXU matmul on the theory that
+    the idle MXU made it free — but at Precision.HIGHEST a (256, 256) tri
+    matmul over (P, K) is 400 MFLOP/chunk of 6-pass bf16, ~2 us/chunk =
+    ~37 ms of the 58 ms backward at the 1M/1080p bench (Mosaic serializes
+    it with the VPU stream here). The 8-stage VPU scan costs ~24 ops/pair
+    ~= 12 ms, and lower matmul precision is not an option: bf16 3-pass
+    splits lose f32 payload bits and fail gradient parity."""
+    assert (n & (n - 1)) == 0, "chunk must be a power of two"
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    d = 1
+    while d < n:
+        x = jnp.where(col >= d, x + pltpu.roll(x, d, 1), x)
+        d *= 2
+    return x
 
 
 def _prefix_prod_lanes(x: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -236,7 +238,6 @@ def _bwd_kernel(starts_ref, counts_ref, soa_ref, aux_ref, grad_ref, meta_ref,
     px, py = _pixel_coords(t, ts, ntx)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     basis = _moment_basis(ts)                       # (6, P) static
-    tri = _triu_ones(chunk)                         # (K, K) static
     ox = ((t % ntx) * ts).astype(jnp.float32)       # tile origin
     oy = ((t // ntx) * ts).astype(jnp.float32)
 
@@ -354,7 +355,7 @@ def _bwd_kernel(starts_ref, counts_ref, soa_ref, aux_ref, grad_ref, meta_ref,
             preferred_element_type=jnp.float32, precision=_PREC,
         )  # (P, K)
         gww = gw * w
-        prefix_incl = pcar + _prefix_sum_lanes_mxu(gww, tri)
+        prefix_incl = pcar + _prefix_sum_lanes(gww, chunk)
         suffix = q_col - prefix_incl
         d_alpha = jnp.where(mask, gw * t_before - suffix / one_m, 0.0)
 
