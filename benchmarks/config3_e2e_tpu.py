@@ -1,0 +1,112 @@
+"""SURVEY config 3: the full user pipeline at production resolution —
+1080p video -> SfM -> train toward 500k gaussians with densification +
+pose refinement -> eval PSNR. This is the reference's main entry flow
+(/root/reference/src/train.py:104-137) at its production shape, run on
+one TPU chip end to end.
+
+Run: python benchmarks/config3_e2e_tpu.py [iters] [--no-poses]
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 800
+    poses = "--no-poses" not in sys.argv
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import numpy as np
+
+    from gaussian_splatting_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+
+    from synthetic_video import write_synthetic_video
+    from gaussian_splatting_tpu.train_cli import build_dataset
+    from gaussian_splatting_tpu.training.config import TrainingConfig
+    from gaussian_splatting_tpu.training.trainer import GaussianTrainer
+    from gaussian_splatting_tpu.video.processor import MultiVideoProcessor
+
+    tmp = tempfile.mkdtemp(prefix="gs_tpu_cfg3_")
+    video = os.path.join(tmp, "clip.mp4")
+    print(f"writing 1080p synthetic video -> {video}", file=sys.stderr)
+    # Denser scene than the SfM tests: 1080p frames give SIFT room for
+    # thousands of features, and densification needs structure to fit.
+    write_synthetic_video(video, n_frames=60, width=1920, height=1080,
+                          n_points=4000)
+
+    t0 = time.time()
+    proc = MultiVideoProcessor(cache_dir=os.path.join(tmp, "cache"))
+    merged = proc.process_videos([video], stride=3, use_cache=False)
+    t_sfm = time.time() - t0
+    print(f"SfM: {len(merged['points_3d'])} points, "
+          f"{len(merged['all_poses'][0])} poses in {t_sfm:.1f}s",
+          file=sys.stderr)
+
+    ds = build_dataset(merged)
+    cfg = TrainingConfig(
+        iterations=iters, batch_size=2,  # 2x 1080p renders per step
+        initial_gaussians=40_000, max_gaussians=500_000,
+        init_opacity=0.1,
+        densify_from_iteration=200, densify_interval=100,
+        densify_topk_fraction=0.10,
+        opacity_reset_interval=10**9,
+        sh_degree_max=1, sh_increment_interval=max(1, iters // 2),
+        val_interval=max(1, iters // 6), val_max_views=2,
+        checkpoint_interval=10**9, log_scalar_interval=25,
+        optimize_poses=poses,
+        pose_lr_init=1e-3, pose_lr_final=1e-5,
+        pose_start_iter=min(200, max(50, iters // 10)),
+        val_pose_align_steps=100 if poses else 0,
+        reduce_slices=4,  # measured faster at 1080p-scale sorts (BENCH.md)
+    )
+    trainer = GaussianTrainer(cfg)
+    out_dir = os.path.join(tmp, "run")
+    t0 = time.time()
+    state = trainer.train(ds, out_dir, points=np.asarray(merged["points_3d"]),
+                          colors=np.asarray(merged["colors"]))
+    t_train = time.time() - t0
+
+    curve, curve_aligned, growth, last_stats = [], [], [], {}
+    with open(os.path.join(out_dir, "metrics.jsonl")) as f:
+        for line in f:
+            r = json.loads(line)
+            if "val/psnr" in r:
+                curve.append([r.get("_step"), round(float(r["val/psnr"]), 2)])
+                if "val/psnr_aligned" in r:
+                    curve_aligned.append(
+                        [r.get("_step"), round(float(r["val/psnr_aligned"]), 2)])
+            if "n_gaussians" in r:
+                growth.append([r.get("_step"), int(r["n_gaussians"])])
+                last_stats = {k: int(v) for k, v in r.items()
+                              if k.startswith("stats/")}
+    print(json.dumps({
+        "metric": "config3_e2e_1080p_val_psnr",
+        "value": curve[-1][1] if curve else float("nan"),
+        "unit": "dB",
+        "best_psnr": max((c[1] for c in curve), default=float("nan")),
+        "best_psnr_aligned": max((c[1] for c in curve_aligned),
+                                 default=None) if curve_aligned else None,
+        "psnr_curve": curve,
+        "growth": growth[:: max(1, len(growth) // 16)],
+        "stats_last": last_stats,
+        "optimize_poses": poses,
+        "iters": iters,
+        "n_gaussians": int(state.gauss.n_alive()),
+        "sfm_points": len(merged["points_3d"]),
+        "sfm_seconds": round(t_sfm, 1),
+        "train_seconds": round(t_train, 1),
+        "steps_per_sec": round(iters / t_train, 2),
+        "platform": jax.default_backend(),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -6,7 +6,11 @@ Self-consistency scene: GT = 400k-gaussian ball rendered by this renderer
 at 1080p from 16 cameras; training starts from 60k noisy GT points and
 densifies with the rank-threshold schedule toward max_gaussians.
 
-Run: python benchmarks/densify_scale_tpu.py [iters] [max_gaussians]
+Run: python benchmarks/densify_scale_tpu.py [iters] [max_gaussians] [scale] [topk]
+
+``topk`` (default 0.05) is the rank-threshold densify fraction — the
+growth rate per densify event. 0.05 needs ~5800 iters to reach 1M from
+60k; 0.12 reaches it in ~2800 (growth compounds per 100-iter event).
 """
 
 import json
@@ -18,6 +22,7 @@ def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
     max_gaussians = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     scale = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0  # smoke-test knob
+    topk = float(sys.argv[4]) if len(sys.argv) > 4 else 0.05
 
     import os
     import sys as _sys
@@ -82,11 +87,12 @@ def main():
         initial_gaussians=n_init, max_gaussians=max_gaussians,
         init_opacity=0.1,
         densify_from_iteration=300, densify_interval=100,
-        densify_topk_fraction=0.05,
+        densify_topk_fraction=topk,
         opacity_reset_interval=10**9,  # growth-stability benchmark
         sh_degree_max=0, sh_increment_interval=10**9,
         val_interval=max(1, iters // 8), val_max_views=2,
         checkpoint_interval=10**9, log_scalar_interval=50,
+        reduce_slices=4,  # measured faster at 1080p-scale sorts (BENCH.md)
     )
     trainer = GaussianTrainer(cfg)
     import tempfile

@@ -68,7 +68,8 @@ def render_frame(pts, cols, sizes, K, view, width, height):
 
 
 def write_synthetic_video(path, n_frames=60, width=320, height=240, seed=0,
-                          fps=30.0, arc_range=(0.0, 1.0), scene_seed=None):
+                          fps=30.0, arc_range=(0.0, 1.0), scene_seed=None,
+                          n_points=900):
     """Camera arcs sideways while looking at the cloud center. Returns
     (K, true world-to-camera poses).
 
@@ -78,7 +79,7 @@ def write_synthetic_video(path, n_frames=60, width=320, height=240, seed=0,
     from partially overlapping trajectories (cross-video alignment tests).
     """
     rng = np.random.default_rng(scene_seed if scene_seed is not None else seed)
-    pts, cols, sizes = make_scene(rng)
+    pts, cols, sizes = make_scene(rng, n_points=n_points)
     f = 1.2 * max(width, height)
     K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1.0]])
     fourcc = cv2.VideoWriter.fourcc(*"mp4v")
