@@ -59,32 +59,33 @@ print(f"2-op flat M={M}: {dt*1e3:6.1f} ms ({dt/M*1e9:.2f} ns/entry)",
 
 print("== partition_soa + batched sort vs flat 12-op sort (the real plan) ==",
       flush=True)
-from gaussian_splatting_tpu.ops.partition import partition_soa
+from gaussian_splatting_tpu.ops.partition import partition_soa, quantum_for
 
 B, C = 16, 512
-cap = ((M // B * 5 // 4) // C) * C          # 1.25x slack, C-aligned
+q = quantum_for(C, B, 1.5)
 soa = jnp.asarray(rng.normal(size=(16, M)), jnp.float32)
 key = jnp.asarray(rng.integers(0, 8160 * 1024, size=(M,)), jnp.int32)
-soa = soa.at[0, :].set(key.astype(jnp.float32) % (1 << 22))  # exact f32 keys
-soa = soa.at[15, :].set((key % B).astype(jnp.float32))       # bucket row
+# exact f32 keys; bucket = low 4 key bits (bucket_shift=0 & (B-1))
+soa = soa.at[0, :].set((key % (1 << 22)).astype(jnp.float32))
 
-dt = time_fn_device(
-    lambda s, x: partition_soa(x * s, (cap,) * B, bucket_row=15, key_row=0,
-                               sentinel=float(1 << 23), interpret=False,
-                               C=C),
-    (soa,), reps=6)
-print(f"partition M={M} B={B}: {dt*1e3:6.1f} ms", flush=True)
+# Cache-bust through a PAYLOAD row (row 1), never the key row: scaling the
+# key would move entries between buckets (ADVICE round-2).
+def part_only(s, x):
+    return partition_soa(x.at[1].mul(1.0 + (s - 1.0) * 1e-9), B, q,
+                         key_row=0, sentinel=float(1 << 23),
+                         interpret=False, C=C)
+
+dt = time_fn_device(part_only, (soa,), reps=6)
+print(f"partition M={M} B={B} q={q}: {dt*1e3:6.1f} ms", flush=True)
 
 def part_then_sort(s, x):
-    out, counts, drops = partition_soa(
-        x * s, (cap,) * B, bucket_row=15, key_row=0,
-        sentinel=float(1 << 23), interpret=False, C=C)
-    ops = tuple(out[r].reshape(B, cap) for r in range(12))
+    rows, counts, drops = part_only(s, x)
+    ops = tuple(rows[r] for r in range(12))
     srt = jax.lax.sort(ops, num_keys=1, dimension=1)
     return srt, counts
 
 dt = time_fn_device(part_then_sort, (soa,), reps=6)
-print(f"partition+batched-12op-sort M={M} B={B} cap={cap}: {dt*1e3:6.1f} ms",
+print(f"partition+batched-12op-sort M={M} B={B}: {dt*1e3:6.1f} ms",
       flush=True)
 
 ops_flat = tuple(soa[r, :] for r in range(12))
