@@ -6,11 +6,14 @@ Self-consistency scene: GT = 400k-gaussian ball rendered by this renderer
 at 1080p from 16 cameras; training starts from 60k noisy GT points and
 densifies with the rank-threshold schedule toward max_gaussians.
 
-Run: python benchmarks/densify_scale_tpu.py [iters] [max_gaussians] [scale] [topk]
+Run: python benchmarks/densify_scale_tpu.py [iters] [max_gaussians] [scale] [topk] [n_init]
 
 ``topk`` (default 0.05) is the rank-threshold densify fraction — the
 growth rate per densify event. 0.05 needs ~5800 iters to reach 1M from
 60k; 0.12 reaches it in ~2800 (growth compounds per 100-iter event).
+``n_init`` overrides the 60k starting population (the GT ball has 400k
+points to subsample) — start bigger to exercise the ~1M regime inside a
+shorter wall-clock budget.
 """
 
 import json
@@ -23,6 +26,7 @@ def main():
     max_gaussians = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     scale = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0  # smoke-test knob
     topk = float(sys.argv[4]) if len(sys.argv) > 4 else 0.05
+    n_init_arg = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
     import os
     import sys as _sys
@@ -80,7 +84,8 @@ def main():
                      viewmats=np.stack(cams).astype(np.float32),
                      Ks=np.tile(np.asarray(K, np.float32)[None], (n_views, 1, 1)))
 
-    n_init = max(int(60_000 * scale * scale), 500)
+    n_init = n_init_arg or max(int(60_000 * scale * scale), 500)
+    n_init = min(n_init, n_gt)
     sub = rng.permutation(n_gt)[:n_init]
     cfg = TrainingConfig(
         iterations=iters, batch_size=4, backend=backend,
