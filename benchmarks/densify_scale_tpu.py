@@ -27,6 +27,7 @@ def main():
     scale = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0  # smoke-test knob
     topk = float(sys.argv[4]) if len(sys.argv) > 4 else 0.05
     n_init_arg = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    densify_from = int(sys.argv[6]) if len(sys.argv) > 6 else 300
 
     import os
     import sys as _sys
@@ -91,7 +92,7 @@ def main():
         iterations=iters, batch_size=4, backend=backend,
         initial_gaussians=n_init, max_gaussians=max_gaussians,
         init_opacity=0.1,
-        densify_from_iteration=300, densify_interval=100,
+        densify_from_iteration=densify_from, densify_interval=100,
         densify_topk_fraction=topk,
         opacity_reset_interval=10**9,  # growth-stability benchmark
         sh_degree_max=0, sh_increment_interval=10**9,
