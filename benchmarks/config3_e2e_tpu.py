@@ -14,6 +14,15 @@ import tempfile
 import time
 
 
+def _subsample_with_last(seq, n):
+    """Every len/n-th record plus the final one (the end state), without
+    duplicating the tail when the stride already lands on it."""
+    sub = seq[:: max(1, len(seq) // n)]
+    if seq and (not sub or sub[-1] != seq[-1]):
+        sub = sub + seq[-1:]
+    return sub
+
+
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 800
     poses = "--no-poses" not in sys.argv
@@ -95,7 +104,7 @@ def main():
         "best_psnr_aligned": max((c[1] for c in curve_aligned),
                                  default=None) if curve_aligned else None,
         "psnr_curve": curve,
-        "growth": growth[:: max(1, len(growth) // 16)],
+        "growth": _subsample_with_last(growth, 16),
         "stats_last": last_stats,
         "optimize_poses": poses,
         "iters": iters,

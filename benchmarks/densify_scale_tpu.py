@@ -6,14 +6,16 @@ Self-consistency scene: GT = 400k-gaussian ball rendered by this renderer
 at 1080p from 16 cameras; training starts from 60k noisy GT points and
 densifies with the rank-threshold schedule toward max_gaussians.
 
-Run: python benchmarks/densify_scale_tpu.py [iters] [max_gaussians] [scale] [topk] [n_init]
+Run: python benchmarks/densify_scale_tpu.py [iters] [max_gaussians] [scale] [topk] [n_init] [densify_from]
 
 ``topk`` (default 0.05) is the rank-threshold densify fraction — the
 growth rate per densify event. 0.05 needs ~5800 iters to reach 1M from
 60k; 0.12 reaches it in ~2800 (growth compounds per 100-iter event).
 ``n_init`` overrides the 60k starting population (the GT ball has 400k
 points to subsample) — start bigger to exercise the ~1M regime inside a
-shorter wall-clock budget.
+shorter wall-clock budget. ``densify_from`` (default 300) is the first
+iteration densification may fire, mirroring the trainer's
+``densify_from_iteration`` warmup knob.
 """
 
 import json

@@ -7,6 +7,15 @@ import json
 import sys
 
 
+def _subsample_with_last(seq, n):
+    """Every len/n-th record plus the final one, deduplicating the tail —
+    same idiom as benchmarks/config3_e2e_tpu.py."""
+    sub = seq[:: max(1, len(seq) // n)]
+    if seq and (not sub or sub[-1] != seq[-1]):
+        sub = sub + seq[-1:]
+    return sub
+
+
 def main():
     path = sys.argv[1]
     curve, curve_al, growth, last, last_stats = [], [], [], {}, {}
@@ -30,7 +39,7 @@ def main():
         "best_psnr_aligned": max((c[1] for c in curve_al), default=None),
         "psnr_curve": curve,
         "psnr_curve_aligned": curve_al or None,
-        "growth": growth[:: max(1, len(growth) // 24)] + growth[-1:],
+        "growth": _subsample_with_last(growth, 24),
         "stats_last": last_stats,
     }, indent=1))
 

@@ -71,6 +71,13 @@ def fwd_full(s, m, c2, col, o, dd, r):
 
 
 def fwd_core(s, m, c2, col, o, dd, r):
+    # Known bias (noted, not masked): this sums the raw (T, 8, P) buffer
+    # including the 8 padded rows of the bottom tile band (1080 -> 68 tile
+    # rows = 1088 px), so the core path carries slightly more loss/gradient
+    # work than fwd_full's [:height, :width] crop. The extra is 8/1088 of
+    # one tile band (~0.7% of pixels) — small against the transpose cost
+    # this probe isolates, and masking it here would itself add a
+    # (T, 8, P)-shaped select to the core path being timed.
     out, *_ = core(m * s, c2, col, o, dd, r)
     return jnp.sum(out[:, 0:3]) + jnp.sum(out[:, 4])
 
