@@ -28,6 +28,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     args = [a for a in sys.argv[1:] if a != "--multihost"]
+    only_shapes = None
+    if "--shapes" in args:
+        # Restrict to named mesh shapes, e.g. --shapes 2x4 (comma-separated):
+        # the multi-host test runs one shape to keep CI wall-clock bounded.
+        i = args.index("--shapes")
+        only_shapes = {tuple(map(int, s.split("x")))
+                       for s in args[i + 1].split(",")}
+        del args[i:i + 2]
     if "--virtual" in args:
         # Self-contained virtual-mesh mode (CI): N host CPU devices,
         # no env wrangling needed. Must run before jax imports.
@@ -81,7 +89,7 @@ def main():
     d = 1
     while d <= n_dev:
         m = n_dev // d
-        if d * m == n_dev:
+        if d * m == n_dev and (only_shapes is None or (d, m) in only_shapes):
             shapes.append((d, m))
         d *= 2
     results = []
