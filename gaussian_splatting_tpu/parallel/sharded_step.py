@@ -165,7 +165,9 @@ def make_sharded_train_step(
                 # (training/step.py): photometric loss -> depth never gets a
                 # cotangent (depth_grad=False drops one reduce-sort payload);
                 # sort_depth_bits and grad_buffer_frac are the same knobs.
-                # tests/test_trainer_mesh.py asserts this option parity.
+                # tests/test_parallel_pallas.py::
+                # test_sharded_pallas_matches_single_chip asserts the parity
+                # by loss/parameter equality against the single-chip step.
                 img, alpha_img, _, stats = rasterize_tiled(
                     means2d_band, conics, colors, opac, depths, radii,
                     width, band_h, tile_size=ts,

@@ -11,6 +11,97 @@ from gaussian_splatting_tpu.training.trainer import GaussianTrainer
 from test_training import _synthetic_scene
 
 
+def _densify_cfg(**kw):
+    base = dict(
+        iterations=24, batch_size=2, backend="ref",
+        initial_gaussians=1800, max_gaussians=6000,
+        densify_from_iteration=4, densify_interval=5,
+        densify_topk_fraction=0.25,
+        val_interval=1000, checkpoint_interval=1000,
+        log_scalar_interval=5, sh_increment_interval=100, sh_degree_max=0,
+    )
+    base.update(kw)
+    return TrainingConfig(**base)
+
+
+def _read_densify_events(path):
+    import json
+
+    events = []
+    with open(path) as f:
+        for line in f:
+            r = json.loads(line)
+            if "densify/n_after" in r:
+                events.append({k: r[k] for k in
+                               ("densify/cloned", "densify/split",
+                                "densify/pruned", "densify/n_before",
+                                "densify/n_after")})
+    return events
+
+
+@pytest.mark.slow
+def test_mesh_densify_matches_single_chip(rng, tmp_path):
+    """VERDICT round-3 #6: the sharded trainer must run real densify events
+    and capacity growth — and produce the same population trajectory as the
+    single-chip trainer at the same seeds. 1800 initial alive in a 2048
+    buffer puts occupancy past the 0.85 growth trigger, so the first
+    densify event exercises grow_capacity (capacity must stay divisible by
+    the model axis — sharded_step.shard_state raises otherwise) before the
+    masked clone/split/prune sweep runs on ZeRO-sharded state."""
+    ds, gt_means = _synthetic_scene(rng, n_views=6)
+    pts = np.concatenate([
+        gt_means + 0.02 * np.random.default_rng(i).normal(
+            size=gt_means.shape).astype(np.float32)
+        for i in range(20)])  # 600 points -> n_init = 3x = 1800
+
+    runs = {}
+    for name, mesh_kw in (("single", {}),
+                          ("mesh", dict(mesh_data=2, mesh_tile=2))):
+        cfg = _densify_cfg(**mesh_kw)
+        trainer = GaussianTrainer(cfg)
+        state = trainer.train(ds, str(tmp_path / name), points=pts)
+        events = _read_densify_events(tmp_path / name / "metrics.jsonl")
+        assert len(events) >= 3, events
+        runs[name] = (int(state.gauss.capacity), int(state.gauss.n_alive()),
+                      events)
+
+    cap_s, alive_s, ev_s = runs["single"]
+    cap_m, alive_m, ev_m = runs["mesh"]
+    assert cap_s > 2048, "capacity growth never fired"
+    assert cap_m == cap_s
+    assert cap_m % 2 == 0  # stays divisible by the model axis
+    assert any(e["densify/cloned"] + e["densify/split"] > 0 for e in ev_m)
+    # Population trajectory equality at the same seeds: the rank-threshold
+    # selection count is exact (top k of n_alive), so FP reduction-order
+    # noise between the psum'd mesh gradients and the single-chip gradients
+    # must not change any event's population accounting.
+    assert ev_m == ev_s, (ev_m, ev_s)
+    assert alive_m == alive_s
+
+
+@pytest.mark.slow
+def test_mesh_pallas_rebudget(rng, tmp_path):
+    """Class-budget overflow -> watchdog rebudget under the mesh: start the
+    pallas backend with deliberately undersized class budgets and assert the
+    trainer's escalating-headroom re-measure fires (a recompile with larger
+    budgets) while training on the 2x2 virtual mesh."""
+    from gaussian_splatting_tpu.ops.tiling import class_caps
+
+    ds, gt_means = _synthetic_scene(rng, n_views=4)
+    L = len(class_caps(16))
+    cfg = _densify_cfg(
+        backend="pallas", mesh_data=2, mesh_tile=2,
+        iterations=6, densify_from_iteration=1000,
+        log_scalar_interval=1,
+        class_budgets=(128,) * L,
+    )
+    trainer = GaussianTrainer(cfg)
+    trainer.train(ds, str(tmp_path / "rebudget"), points=gt_means)
+    assert trainer._rebudget_count >= 1, "budget-overflow rebudget never fired"
+    assert trainer.config.class_budgets != (128,) * L
+    assert sum(trainer.config.class_budgets) > 128 * L
+
+
 @pytest.mark.slow
 def test_trainer_on_mesh(rng, tmp_path):
     assert len(jax.devices()) == 8
