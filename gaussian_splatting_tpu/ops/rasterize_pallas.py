@@ -443,14 +443,315 @@ def _bwd_kernel(starts_ref, counts_ref, soa_ref, aux_ref, grad_ref, meta_ref,
         meta_ref[0, 1] = smem[2] * chunk
 
 
+def _fwd_kernel_q(wtile_ref, cum_ref, starts_ref, counts_ref, nwork_ref,
+                  soa_ref, out_ref, scratch, sem, tcar_ref, smem,
+                  *, ts, ntx, chunk, w_cap):
+    """Flat-queue forward: ONE chunk per grid step (see tiling.chunk_queue).
+
+    Replaces the round-3 per-tile ``while_loop`` sweep — measured 2.1 us
+    vs 1.2 us per chunk (scratch/probe_kernel_r4.py [2]): the loop's
+    data-dependent cond (vector reduce -> scalar -> branch every chunk)
+    stalls the VPU pipeline, while Mosaic overlaps *grid steps* deeply.
+    The output block revolves: consecutive steps of the same tile
+    accumulate into the resident VMEM block; early termination becomes a
+    per-tile saturation flag in SMEM that skips the chunk MATH (the DMA
+    stream continues — bit-exact output either way because the per-pixel
+    ``mask`` already zeroes saturated contributions; the flag only skips
+    work the mask would zero)."""
+    P = ts * ts
+    w = pl.program_id(0)
+    t = wtile_ref[w]
+    start = starts_ref[t]
+    count = counts_ref[t]
+    ci = w - cum_ref[t]
+    nop = w >= nwork_ref[0]
+    shift = jax.lax.rem(start, chunk)
+    base = start - shift
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+
+    def dma_for(wi):
+        ti = wtile_ref[wi]
+        si = starts_ref[ti]
+        ba = si - jax.lax.rem(si, chunk)
+        cii = wi - cum_ref[ti]
+        off = pl.multiple_of(ba + cii * chunk, chunk)
+        return pltpu.make_async_copy(
+            soa_ref.at[:, pl.ds(off, 2 * chunk)],
+            scratch.at[jax.lax.rem(wi, 2)],
+            sem.at[jax.lax.rem(wi, 2)],
+        )
+
+    @pl.when((w == 0) & jnp.logical_not(nop))
+    def _():
+        dma_for(w).start()
+
+    @pl.when((w + 1 < w_cap) & (w + 1 < nwork_ref[0]))
+    def _():
+        dma_for(w + 1).start()
+
+    @pl.when(jnp.logical_not(nop))
+    def _():
+        dma_for(w).wait()
+        sat = (ci > 0) & (smem[0] == 1)
+
+        @pl.when(jnp.logical_not(sat))
+        def _():
+            window = scratch[jax.lax.rem(w, 2)]
+            data = pltpu.roll(window, 2 * chunk - shift, 1)[:, :chunk]
+            valid = (ci * chunk + col) < count
+            px, py = _pixel_coords(t, ts, ntx)
+            tcar = jnp.where(ci == 0, jnp.ones((P, 1), jnp.float32),
+                             tcar_ref[...])
+            alpha, *_ = _chunk_alpha(data, px, py, valid)
+            one_m = 1.0 - alpha
+            prod_incl = _prefix_prod_lanes(one_m, chunk)
+            prod_excl = jnp.where(col == 0, 1.0, pltpu.roll(prod_incl, 1, 1))
+            t_after = tcar * prod_incl
+            mask = t_after > T_EARLY_STOP
+            w_blend = jnp.where(mask, alpha * tcar * prod_excl, 0.0)
+            extras = data[6:14, :]
+            ew = jnp.concatenate(
+                [extras[0:5], jnp.zeros((3, chunk), jnp.float32)], axis=0)
+            contrib = jax.lax.dot_general(
+                ew, w_blend, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )  # (8, P)
+
+            @pl.when(ci == 0)
+            def _():
+                out_ref[0] = contrib
+
+            @pl.when(ci > 0)
+            def _():
+                out_ref[0] = out_ref[0] + contrib
+
+            tcar_new = tcar * jnp.min(
+                jnp.where(mask, prod_incl, 1.0), axis=1, keepdims=True)
+            tcar_ref[...] = tcar_new
+            smem[0] = jnp.where(
+                jnp.max(tcar_new) > T_EARLY_STOP, 0, 1).astype(jnp.int32)
+
+
+def _bwd_kernel_q(wtile_ref, cum_ref, starts_ref, counts_ref, nwork_ref,
+                  soa_ref, aux_ref, grad_ref, meta_ref,
+                  scratch, staging, bounce, sem, wsem, smem,
+                  tcar_ref, pcar_ref, qcol_ref,
+                  *, ts, ntx, chunk, n_gaussians, w_cap, grad_cap):
+    """Flat-queue backward (see _fwd_kernel_q): one chunk per grid step,
+    per-tile carries (transmittance, gww prefix, Q_total) in VMEM scratch
+    reset at ci == 0, aux (cotangent + saved forward) block revolving with
+    the tile. The compact gradient appends are unchanged from the loop
+    kernel: a staging ring shared across ALL steps with double-buffered
+    bounce flushes; saturated-tile chunks skip math AND append (their
+    gradients are identically zero — at most one extra zero-gradient chunk
+    per tile is appended relative to the round-3 while-loop exit, because
+    the saturation flag is observed one chunk later than the loop cond)."""
+    P = ts * ts
+    w = pl.program_id(0)
+    t = wtile_ref[w]
+    start = starts_ref[t]
+    count = counts_ref[t]
+    ci = w - cum_ref[t]
+    nop = w >= nwork_ref[0]
+    shift = jax.lax.rem(start, chunk)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, (16, 2 * chunk), 1)
+    basis = _moment_basis(ts)
+    ones8 = jnp.ones((8, 1), jnp.float32)
+
+    @pl.when(w == 0)
+    def _():
+        smem[0] = 0
+        smem[1] = 0
+        smem[2] = 0
+        meta_ref[0, 0] = 0
+        meta_ref[0, 1] = 0
+
+    def dma_for(wi):
+        ti = wtile_ref[wi]
+        si = starts_ref[ti]
+        ba = si - jax.lax.rem(si, chunk)
+        cii = wi - cum_ref[ti]
+        off = pl.multiple_of(ba + cii * chunk, chunk)
+        return pltpu.make_async_copy(
+            soa_ref.at[:, pl.ds(off, 2 * chunk)],
+            scratch.at[jax.lax.rem(wi, 2)],
+            sem.at[jax.lax.rem(wi, 2)],
+        )
+
+    def flush_dma(slot, hbm_chunk):
+        return pltpu.make_async_copy(
+            bounce.at[slot],
+            grad_ref.at[:, pl.ds(pl.multiple_of(hbm_chunk * chunk, chunk),
+                                 chunk)],
+            wsem.at[slot],
+        )
+
+    def append(gblock, valid):
+        c = smem[0]
+        rolled = pltpu.roll(jnp.concatenate([gblock, gblock], axis=1), c, 1)
+        staging[:, :] = jnp.where((col2 >= c) & (col2 < c + chunk),
+                                  rolled, staging[:, :])
+        c = c + valid
+        smem[0] = c
+
+        @pl.when(c >= chunk)
+        def _():
+            ok = smem[1] * chunk + chunk <= grad_cap
+
+            @pl.when(ok)
+            def _():
+                nflush = smem[1]
+                slot = jax.lax.rem(nflush, 2)
+
+                @pl.when(nflush >= 2)
+                def _():
+                    flush_dma(slot, jnp.int32(0)).wait()
+                bounce[slot] = staging[:, :chunk]
+                flush_dma(slot, nflush).start()
+                smem[1] = nflush + 1
+
+            @pl.when(jnp.logical_not(ok))
+            def _():
+                smem[2] = smem[2] + 1
+            staging[:, :chunk] = staging[:, chunk:]
+            smem[0] = c - chunk
+
+    @pl.when((w == 0) & jnp.logical_not(nop))
+    def _():
+        dma_for(w).start()
+
+    @pl.when((w + 1 < w_cap) & (w + 1 < nwork_ref[0]))
+    def _():
+        dma_for(w + 1).start()
+
+    @pl.when(jnp.logical_not(nop))
+    def _():
+        dma_for(w).wait()
+        sat = (ci > 0) & (smem[3] == 1)
+
+        @pl.when(jnp.logical_not(sat))
+        def _():
+            window = scratch[jax.lax.rem(w, 2)]
+            data = pltpu.roll(window, 2 * chunk - shift, 1)[:, :chunk]
+            valid = (ci * chunk + col) < count
+            px, py = _pixel_coords(t, ts, ntx)
+            ox = ((t % ntx) * ts).astype(jnp.float32)
+            oy = ((t // ntx) * ts).astype(jnp.float32)
+            gpix = aux_ref[0, 0:8, :]
+            tcar = jnp.where(ci == 0, jnp.ones((P, 1), jnp.float32),
+                             tcar_ref[...])
+            pcar = jnp.where(ci == 0, jnp.zeros((P, 1), jnp.float32),
+                             pcar_ref[...])
+
+            @pl.when(ci == 0)
+            def _():
+                fout = aux_ref[0, 8:16, :]
+                qcol_ref[...] = jax.lax.dot_general(
+                    gpix * fout, ones8, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=_PREC,
+                )
+            q_col = qcol_ref[...]
+
+            alpha, sigma, vis, araw, contrib_m, dx, dy, ca, cb, cc, op = (
+                _chunk_alpha(data, px, py, valid))
+            one_m = 1.0 - alpha
+            prod_incl = _prefix_prod_lanes(one_m, chunk)
+            prod_excl = jnp.where(col == 0, 1.0, pltpu.roll(prod_incl, 1, 1))
+            t_after = tcar * prod_incl
+            mask = t_after > T_EARLY_STOP
+            t_before = tcar * prod_excl
+            w_blend = jnp.where(mask, alpha * t_before, 0.0)
+
+            extras = data[6:14, :]
+            ew = jnp.concatenate(
+                [extras[0:5], jnp.zeros((3, chunk), jnp.float32)], axis=0)
+            gw = jax.lax.dot_general(
+                gpix, ew, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )
+            gww = gw * w_blend
+            prefix_incl = pcar + _prefix_sum_lanes(gww, chunk)
+            suffix = q_col - prefix_incl
+            d_alpha = jnp.where(mask, gw * t_before - suffix / one_m, 0.0)
+            gate = contrib_m & (araw <= ALPHA_CLAMP)
+            d_sigma = jnp.where(gate, -d_alpha * araw, 0.0)
+
+            mom = jax.lax.dot_general(
+                basis, d_sigma, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )
+            m0, m_x, m_y = mom[0:1], mom[1:2], mom[2:3]
+            m_xx, m_xy, m_yy = mom[3:4], mom[4:5], mom[5:6]
+            mxl = data[0:1, :] - ox
+            myl = data[1:2, :] - oy
+            sdx = m_x - mxl * m0
+            sdy = m_y - myl * m0
+            dmx = -(ca * sdx + cb * sdy)
+            dmy = -(cc * sdy + cb * sdx)
+            dca = 0.5 * (m_xx - 2.0 * mxl * m_x + mxl * mxl * m0)
+            dcb = m_xy - mxl * m_y - myl * m_x + mxl * myl * m0
+            dcc = 0.5 * (m_yy - 2.0 * myl * m_y + myl * myl * m0)
+            dop = jnp.where(op > 1e-12, -m0 / jnp.maximum(op, 1e-12), 0.0)
+            d_extras = jax.lax.dot_general(
+                gpix, w_blend, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_PREC,
+            )
+            gid = jnp.where(valid, data[11:12, :], float(n_gaussians))
+            gblock = jnp.concatenate([
+                gid,
+                dmx, dmy, dca, dcb, dcc, dop,
+                d_extras[0:4, :],
+                jnp.zeros((5, chunk), jnp.float32),
+            ], axis=0)
+            append(gblock, jnp.minimum(count - ci * chunk, chunk))
+
+            tcar_new = tcar * jnp.min(
+                jnp.where(mask, prod_incl, 1.0), axis=1, keepdims=True)
+            tcar_ref[...] = tcar_new
+            pcar_ref[...] = pcar + jnp.sum(gww, axis=1, keepdims=True)
+            smem[3] = jnp.where(
+                jnp.max(tcar_new) > T_EARLY_STOP, 0, 1).astype(jnp.int32)
+
+    # Last grid step: sentinel-fill the staging tail, flush, retire DMAs,
+    # publish [n_written, n_dropped]. Runs regardless of nop.
+    @pl.when(w == w_cap - 1)
+    def _():
+        c = smem[0]
+        sent = jnp.concatenate([
+            jnp.full((1, chunk), float(n_gaussians), jnp.float32),
+            jnp.zeros((15, chunk), jnp.float32),
+        ], axis=0)
+
+        @pl.when(c > 0)
+        def _():
+            append(sent, chunk - c)
+
+        nflush = smem[1]
+
+        @pl.when(nflush >= 2)
+        def _():
+            flush_dma(jax.lax.rem(nflush, 2), jnp.int32(0)).wait()
+
+        @pl.when(nflush >= 1)
+        def _():
+            flush_dma(jax.lax.rem(nflush + 1, 2), jnp.int32(0)).wait()
+        meta_ref[0, 0] = nflush * chunk
+        meta_ref[0, 1] = smem[2] * chunk
+
+
 @functools.lru_cache(maxsize=None)
 def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
                grad_cap_mult=8, class_budgets=None, depth_bits=0,
                grad_frac=1.0, depth_grad=True, sort_buckets=0,
-               bucket_headroom=1.5, reduce_slices=0):
+               bucket_headroom=1.5, reduce_slices=0, queue=True):
     P = ts * ts
     T = ntx * nty
     n_slots = total_slots(N, max_t, class_budgets)
+    # Flat-queue work capacity: total chunks <= n_isect/chunk + one partial
+    # chunk per tile; n_isect <= n_slots. Pad steps past the dynamic work
+    # count are in-kernel no-ops.
+    w_cap = n_slots // chunk + T
     # Gradient-buffer capacity: the backward kernel appends COMPACTLY (no
     # per-tile chunk padding, early-terminated chunks dropped), so real
     # entries never exceed n_isect <= n_slots; +1 chunk for the final
@@ -519,6 +820,87 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
 
+    fwd_call_q = pl.pallas_call(
+        functools.partial(_fwd_kernel_q, ts=ts, ntx=ntx, chunk=chunk,
+                          w_cap=w_cap),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(w_cap,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, 8, P), lambda w, wt, *_: (wt[w], 0, 0),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, 16, 2 * chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((P, 1), jnp.float32),
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
+        interpret=interpret,
+    )
+
+    bwd_call_q = pl.pallas_call(
+        functools.partial(_bwd_kernel_q, ts=ts, ntx=ntx, chunk=chunk,
+                          n_gaussians=N, w_cap=w_cap, grad_cap=grad_cap),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(w_cap,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, 16, P), lambda w, wt, *_: (wt[w], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, 2), lambda w, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, 16, 2 * chunk), jnp.float32),
+                pltpu.VMEM((16, 2 * chunk), jnp.float32),
+                pltpu.VMEM((2, 16, chunk), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((4,), jnp.int32),
+                pltpu.VMEM((P, 1), jnp.float32),
+                pltpu.VMEM((P, 1), jnp.float32),
+                pltpu.VMEM((P, 1), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((16, grad_cap), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+
+    def _queue(b):
+        from gaussian_splatting_tpu.ops.tiling import chunk_queue
+
+        wtile, cum, n_work = chunk_queue(b.counts, chunk, w_cap)
+        return wtile, cum, n_work.reshape(1)
+
+    def _run_fwd(b):
+        if queue:
+            wtile, cum, nwork = _queue(b)
+            out = fwd_call_q(wtile, cum, b.tile_starts, b.counts, nwork,
+                             b.sorted_soa)
+            # Empty tiles never enter the queue; zero their blocks.
+            return jnp.where((b.counts > 0)[:, None, None], out, 0.0)
+        return fwd_call(b.tile_starts, b.counts, b.sorted_soa)
+
+    def _run_bwd(b_soa, tile_starts, counts, aux):
+        if queue:
+            from gaussian_splatting_tpu.ops.tiling import chunk_queue
+
+            wtile, cum, n_work = chunk_queue(counts, chunk, w_cap)
+            return bwd_call_q(wtile, cum, tile_starts, counts,
+                              n_work.reshape(1), b_soa, aux)
+        return bwd_call(tile_starts, counts, b_soa, aux)
+
     def _grad_drop_bound(n_isect):
         """Upper bound on entries the backward pass can drop at grad_cap —
         computable in forward (real drops depend on early termination and
@@ -538,14 +920,14 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
     @jax.custom_vjp
     def core(means2d, conics, colors, opacities, depths, radii):
         b = _binned(means2d, conics, colors, opacities, depths, radii)
-        out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
+        out = _run_fwd(b)
         return (out, b.n_isect, b.n_dropped,
                 b.n_budget_dropped + b.n_bucket_dropped,
                 _grad_drop_bound(b.n_isect))
 
     def fwd(means2d, conics, colors, opacities, depths, radii):
         b = _binned(means2d, conics, colors, opacities, depths, radii)
-        out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
+        out = _run_fwd(b)
         res = (b.sorted_soa, b.tile_starts, b.counts, out)
         return (out, b.n_isect, b.n_dropped,
                 b.n_budget_dropped + b.n_bucket_dropped,
@@ -555,7 +937,7 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
         g = cts[0]  # (T, 8, P); stats cotangents ignored
         soa, tile_starts, counts, out = res
         aux = jnp.concatenate([g, out], axis=1)  # (T, 16, P)
-        grad_padded, meta = bwd_call(tile_starts, counts, soa, aux)
+        grad_padded, meta = _run_bwd(soa, tile_starts, counts, aux)
         gr = reduce_padded_grads(grad_padded, N, meta[0, 0],
                                  interpret=interpret, with_depth=depth_grad,
                                  sort_slices=reduce_slices)
@@ -572,9 +954,9 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
         reduce is drop-free — slices are static positional segments — so
         kernel-level drops are the only reduce-side loss to police.)"""
         b = _binned(means2d, conics, colors, opacities, depths, radii)
-        out = fwd_call(b.tile_starts, b.counts, b.sorted_soa)
+        out = _run_fwd(b)
         aux = jnp.concatenate([jnp.ones_like(out), out], axis=1)
-        grad_padded, meta = bwd_call(b.tile_starts, b.counts, b.sorted_soa,
+        grad_padded, meta = _run_bwd(b.sorted_soa, b.tile_starts, b.counts,
                                      aux)
         return meta[0, 0], meta[0, 1], jnp.int32(grad_cap)
 
@@ -605,6 +987,7 @@ def rasterize_tiled(
     interpret=None,
     with_stats=False,
     depth_grad=True,
+    queue=True,
 ):
     """Full tiled rasterization: payload-sort binning (XLA) + Pallas fwd/bwd.
 
@@ -625,6 +1008,13 @@ def rasterize_tiled(
     GRADIENT-REDUCE sort through K sliced sorts + segsums (drop-free; see
     reduce_padded_grads). The flat 4M+-entry XLA sorts these replace were
     52% of the round-2 step.
+
+    ``queue=True`` (default) runs the kernels on the flat chunk queue (one
+    chunk per grid step, ``tiling.chunk_queue``) instead of the round-3
+    per-tile while_loop sweep — bit-identical output, measured ~1.7x on the
+    kernel stages at the 1M/1080p bench (the loop cond's vector-reduce ->
+    scalar -> branch chain stalls the pipeline every chunk). ``queue=False``
+    keeps the loop kernels for A/B.
     """
     N = means2d.shape[0]
     ts = tile_size
@@ -643,7 +1033,7 @@ def rasterize_tiled(
                       depth_grad=bool(depth_grad),
                       sort_buckets=int(sort_buckets),
                       bucket_headroom=float(bucket_headroom),
-                      reduce_slices=int(reduce_slices))
+                      reduce_slices=int(reduce_slices), queue=bool(queue))
     out, n_isect, n_dropped, n_budget_dropped, n_grad_dropped = core(
         means2d, conics, colors, opacities, depths, radii)
 
@@ -668,7 +1058,7 @@ def rasterize_grad_meta(
     means2d, conics, colors, opacities, depths, radii, width, height,
     tile_size=16, chunk=256, max_tiles_per_gaussian=16, class_budgets=None,
     depth_bits=0, grad_buffer_frac=1.0, sort_buckets=0, bucket_headroom=1.5,
-    interpret=None,
+    interpret=None, queue=True,
 ):
     """Exact gradient-buffer occupancy for one render: returns the int
     triple (n_written, n_dropped, grad_cap) from a real backward sweep.
@@ -688,5 +1078,6 @@ def rasterize_grad_meta(
                       class_budgets=class_budgets, depth_bits=int(depth_bits),
                       grad_frac=float(grad_buffer_frac),
                       sort_buckets=int(sort_buckets),
-                      bucket_headroom=float(bucket_headroom))
+                      bucket_headroom=float(bucket_headroom),
+                      queue=bool(queue))
     return core.probe_meta(means2d, conics, colors, opacities, depths, radii)

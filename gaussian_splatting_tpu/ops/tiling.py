@@ -729,6 +729,37 @@ def _bucket_binned(tile_key, quantity_cols, T, M, chunk, B, headroom,
     )
 
 
+def chunk_queue(counts: jnp.ndarray, chunk: int, w_cap: int):
+    """Flat chunk work-queue for the rasterization kernels.
+
+    The round-3 kernels swept each tile's chunks in an in-program
+    ``while_loop``; measured on v5e (scratch/probe_kernel_r4.py [2]), the
+    loop costs ~2.1 us/chunk while one-chunk-per-grid-step runs at
+    ~1.2 us/chunk — the loop's data-dependent cond (a vector reduce ->
+    scalar -> branch per chunk) stalls the pipeline, and Mosaic pipelines
+    *grid steps* far better than loop iterations. So the kernels take a
+    flat queue: work item w -> (tile, chunk-within-tile), tile-major, so
+    consecutive steps hit the same revolving output block.
+
+    Returns (wtile (w_cap,) int32, cum (T+1,) int32, n_work () int32):
+    ``wtile[w]`` is the tile of work item w (clamped to T-1 for the pad
+    tail past ``n_work``; pad steps are no-ops in-kernel), ``cum`` the
+    exclusive chunk-count prefix over tiles (``ci = w - cum[wtile[w]]``).
+    ``w_cap`` must upper-bound total chunks: cdiv-sum <= n_slots//chunk + T.
+    Empty tiles never enter the queue — callers must zero their output
+    blocks (the kernel's pad steps deliberately do not touch them).
+    """
+    T = counts.shape[0]
+    chunks_per_tile = cdiv(counts, chunk)
+    cum = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                           jnp.cumsum(chunks_per_tile).astype(jnp.int32)])
+    n_work = cum[T]
+    w = jnp.arange(w_cap, dtype=jnp.int32)
+    wtile = jnp.searchsorted(cum[1:], w, side="right").astype(jnp.int32)
+    wtile = jnp.minimum(wtile, T - 1)
+    return wtile, cum, n_work
+
+
 def reduce_padded_grads(grad_soa: jnp.ndarray, n_gaussians: int,
                         n_written: jnp.ndarray, interpret=None,
                         with_depth: bool = True, sort_slices: int = 0):
