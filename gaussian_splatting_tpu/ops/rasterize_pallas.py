@@ -445,7 +445,7 @@ def _bwd_kernel(starts_ref, counts_ref, soa_ref, aux_ref, grad_ref, meta_ref,
 
 def _fwd_kernel_q(wtile_ref, cum_ref, starts_ref, counts_ref, nwork_ref,
                   soa_ref, out_ref, scratch, sem, tcar_ref, smem,
-                  *, ts, ntx, chunk, w_cap):
+                  *, ts, ntx, chunk, w_cap, sat_skip=True):
     """Flat-queue forward: ONE chunk per grid step (see tiling.chunk_queue).
 
     Replaces the round-3 per-tile ``while_loop`` sweep — measured 2.1 us
@@ -492,7 +492,14 @@ def _fwd_kernel_q(wtile_ref, cum_ref, starts_ref, counts_ref, nwork_ref,
     @pl.when(jnp.logical_not(nop))
     def _():
         dma_for(w).wait()
-        sat = (ci > 0) & (smem[0] == 1)
+        # Saturation skip reads a flag LAGGED BY TWO STEPS (ping-pong SMEM
+        # slots): reading the flag written at step w-1 would chain a vector
+        # reduce -> scalar -> predicate between *consecutive* grid steps —
+        # the exact while-loop-cond stall the queue design removes. The
+        # two-step lag is exact: skipping is only ever applied after the
+        # tile is saturated (the per-pixel ``mask`` already zeroes those
+        # contributions); chunks ci<2 never skip.
+        sat = ((ci > 1) & (smem[jax.lax.rem(w, 2)] == 1)) if sat_skip else False
 
         @pl.when(jnp.logical_not(sat))
         def _():
@@ -528,24 +535,33 @@ def _fwd_kernel_q(wtile_ref, cum_ref, starts_ref, counts_ref, nwork_ref,
             tcar_new = tcar * jnp.min(
                 jnp.where(mask, prod_incl, 1.0), axis=1, keepdims=True)
             tcar_ref[...] = tcar_new
-            smem[0] = jnp.where(
-                jnp.max(tcar_new) > T_EARLY_STOP, 0, 1).astype(jnp.int32)
+            if sat_skip:
+                smem[jax.lax.rem(w, 2)] = jnp.where(
+                    jnp.max(tcar_new) > T_EARLY_STOP, 0, 1).astype(jnp.int32)
+
+        if sat_skip:
+            # A skipped chunk leaves the tile saturated: keep the flag hot in
+            # BOTH slots so every later chunk of this tile also skips.
+            @pl.when(sat)
+            def _():
+                smem[jax.lax.rem(w, 2)] = 1
 
 
 def _bwd_kernel_q(wtile_ref, cum_ref, starts_ref, counts_ref, nwork_ref,
                   soa_ref, aux_ref, grad_ref, meta_ref,
                   scratch, staging, bounce, sem, wsem, smem,
                   tcar_ref, pcar_ref, qcol_ref,
-                  *, ts, ntx, chunk, n_gaussians, w_cap, grad_cap):
+                  *, ts, ntx, chunk, n_gaussians, w_cap, grad_cap,
+                  sat_skip=True):
     """Flat-queue backward (see _fwd_kernel_q): one chunk per grid step,
     per-tile carries (transmittance, gww prefix, Q_total) in VMEM scratch
     reset at ci == 0, aux (cotangent + saved forward) block revolving with
     the tile. The compact gradient appends are unchanged from the loop
     kernel: a staging ring shared across ALL steps with double-buffered
     bounce flushes; saturated-tile chunks skip math AND append (their
-    gradients are identically zero — at most one extra zero-gradient chunk
-    per tile is appended relative to the round-3 while-loop exit, because
-    the saturation flag is observed one chunk later than the loop cond)."""
+    gradients are identically zero — at most two extra zero-gradient chunks
+    per tile are appended relative to the round-3 while-loop exit, because
+    the saturation flag is observed two chunks later than the loop cond)."""
     P = ts * ts
     w = pl.program_id(0)
     t = wtile_ref[w]
@@ -628,7 +644,11 @@ def _bwd_kernel_q(wtile_ref, cum_ref, starts_ref, counts_ref, nwork_ref,
     @pl.when(jnp.logical_not(nop))
     def _():
         dma_for(w).wait()
-        sat = (ci > 0) & (smem[3] == 1)
+        # Two-step-lagged saturation skip (see _fwd_kernel_q): slots 3/4
+        # ping-pong so no scalar chain spans consecutive grid steps. A
+        # saturated tile's chunks past the lag skip math AND append.
+        sat = ((ci > 1) & (smem[3 + jax.lax.rem(w, 2)] == 1)) if sat_skip \
+            else False
 
         @pl.when(jnp.logical_not(sat))
         def _():
@@ -710,8 +730,14 @@ def _bwd_kernel_q(wtile_ref, cum_ref, starts_ref, counts_ref, nwork_ref,
                 jnp.where(mask, prod_incl, 1.0), axis=1, keepdims=True)
             tcar_ref[...] = tcar_new
             pcar_ref[...] = pcar + jnp.sum(gww, axis=1, keepdims=True)
-            smem[3] = jnp.where(
-                jnp.max(tcar_new) > T_EARLY_STOP, 0, 1).astype(jnp.int32)
+            if sat_skip:
+                smem[3 + jax.lax.rem(w, 2)] = jnp.where(
+                    jnp.max(tcar_new) > T_EARLY_STOP, 0, 1).astype(jnp.int32)
+
+        if sat_skip:
+            @pl.when(sat)
+            def _():
+                smem[3 + jax.lax.rem(w, 2)] = 1
 
     # Last grid step: sentinel-fill the staging tail, flush, retire DMAs,
     # publish [n_written, n_dropped]. Runs regardless of nop.
@@ -834,7 +860,7 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
                 pltpu.VMEM((2, 16, 2 * chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((P, 1), jnp.float32),
-                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SMEM((2,), jnp.int32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((T, 8, P), jnp.float32),
@@ -863,7 +889,7 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
                 pltpu.VMEM((2, 16, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SMEM((4,), jnp.int32),
+                pltpu.SMEM((5,), jnp.int32),
                 pltpu.VMEM((P, 1), jnp.float32),
                 pltpu.VMEM((P, 1), jnp.float32),
                 pltpu.VMEM((P, 1), jnp.float32),
