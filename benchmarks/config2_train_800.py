@@ -2,7 +2,11 @@
 8 synthetic cameras, full training loop, no densification.
 
 Measures steps/sec and PSNR trajectory of the jitted train step on real
-hardware. Run: python benchmarks/config2_train_800.py [iters]
+hardware. Run: python benchmarks/config2_train_800.py [iters] [--bf16]
+
+``--bf16`` runs the L1/SSIM image math in bfloat16 (config.loss_dtype,
+the AMP-analog experiment — reference trains under torch autocast,
+trainer.py:31,468); the kernels stay f32 by design.
 """
 
 import json
@@ -13,7 +17,9 @@ import numpy as np
 
 
 def main():
-    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    args = [a for a in sys.argv[1:] if a != "--bf16"]
+    bf16 = "--bf16" in sys.argv
+    iters = int(args[0]) if args else 200
 
     import jax
     import jax.numpy as jnp
@@ -61,7 +67,8 @@ def main():
     print("rendering ground truth views...", file=sys.stderr)
     images = np.stack([np.asarray(render_gt(jnp.asarray(c))) for c in cams])
 
-    cfg = TrainingConfig(batch_size=4, backend=backend)
+    cfg = TrainingConfig(batch_size=4, backend=backend,
+                         loss_dtype="bfloat16" if bf16 else "float32")
     state0 = init_from_points(
         pts + rng.normal(size=pts.shape).astype(np.float32) * 0.02,
         rng.uniform(0.05, 0.95, (n_gauss, 3)), n_gauss, capacity=n_gauss)
@@ -97,6 +104,7 @@ def main():
         "psnr_start": round(psnr0, 2),
         "psnr_end": round(float(m["psnr"]), 2),
         "iters": iters,
+        "loss_dtype": cfg.loss_dtype,
     }))
 
 

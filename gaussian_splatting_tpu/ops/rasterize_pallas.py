@@ -445,7 +445,7 @@ def _bwd_kernel(starts_ref, counts_ref, soa_ref, aux_ref, grad_ref, meta_ref,
 
 def _fwd_kernel_q(wtile_ref, cum_ref, starts_ref, counts_ref, nwork_ref,
                   soa_ref, out_ref, scratch, sem, tcar_ref, smem,
-                  *, ts, ntx, chunk, w_cap, sat_skip=True):
+                  *, ts, ntx, chunk, w_cap, sat_skip=True, direct_dma=False):
     """Flat-queue forward: ONE chunk per grid step (see tiling.chunk_queue).
 
     Replaces the round-3 per-tile ``while_loop`` sweep — measured 2.1 us
@@ -469,11 +469,23 @@ def _fwd_kernel_q(wtile_ref, cum_ref, starts_ref, counts_ref, nwork_ref,
     base = start - shift
     col = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
+    # ``direct_dma``: DMA the segment chunk at its exact (unaligned) offset
+    # into a (16, chunk) window — no aligned 2x window, no dynamic roll.
+    # DMA engines handle arbitrary offsets; the aligned-window+roll of the
+    # round-2/3 kernels predates the queue layout. A/B knob, measured on
+    # hardware before switching the default.
     def dma_for(wi):
         ti = wtile_ref[wi]
         si = starts_ref[ti]
-        ba = si - jax.lax.rem(si, chunk)
         cii = wi - cum_ref[ti]
+        if direct_dma:
+            off = si + cii * chunk
+            return pltpu.make_async_copy(
+                soa_ref.at[:, pl.ds(off, chunk)],
+                scratch.at[jax.lax.rem(wi, 2)],
+                sem.at[jax.lax.rem(wi, 2)],
+            )
+        ba = si - jax.lax.rem(si, chunk)
         off = pl.multiple_of(ba + cii * chunk, chunk)
         return pltpu.make_async_copy(
             soa_ref.at[:, pl.ds(off, 2 * chunk)],
@@ -504,7 +516,10 @@ def _fwd_kernel_q(wtile_ref, cum_ref, starts_ref, counts_ref, nwork_ref,
         @pl.when(jnp.logical_not(sat))
         def _():
             window = scratch[jax.lax.rem(w, 2)]
-            data = pltpu.roll(window, 2 * chunk - shift, 1)[:, :chunk]
+            if direct_dma:
+                data = window
+            else:
+                data = pltpu.roll(window, 2 * chunk - shift, 1)[:, :chunk]
             valid = (ci * chunk + col) < count
             px, py = _pixel_coords(t, ts, ntx)
             tcar = jnp.where(ci == 0, jnp.ones((P, 1), jnp.float32),
@@ -552,7 +567,7 @@ def _bwd_kernel_q(wtile_ref, cum_ref, starts_ref, counts_ref, nwork_ref,
                   scratch, staging, bounce, sem, wsem, smem,
                   tcar_ref, pcar_ref, qcol_ref,
                   *, ts, ntx, chunk, n_gaussians, w_cap, grad_cap,
-                  sat_skip=True):
+                  sat_skip=True, direct_dma=False):
     """Flat-queue backward (see _fwd_kernel_q): one chunk per grid step,
     per-tile carries (transmittance, gww prefix, Q_total) in VMEM scratch
     reset at ci == 0, aux (cotangent + saved forward) block revolving with
@@ -586,8 +601,15 @@ def _bwd_kernel_q(wtile_ref, cum_ref, starts_ref, counts_ref, nwork_ref,
     def dma_for(wi):
         ti = wtile_ref[wi]
         si = starts_ref[ti]
-        ba = si - jax.lax.rem(si, chunk)
         cii = wi - cum_ref[ti]
+        if direct_dma:
+            off = si + cii * chunk
+            return pltpu.make_async_copy(
+                soa_ref.at[:, pl.ds(off, chunk)],
+                scratch.at[jax.lax.rem(wi, 2)],
+                sem.at[jax.lax.rem(wi, 2)],
+            )
+        ba = si - jax.lax.rem(si, chunk)
         off = pl.multiple_of(ba + cii * chunk, chunk)
         return pltpu.make_async_copy(
             soa_ref.at[:, pl.ds(off, 2 * chunk)],
@@ -653,7 +675,10 @@ def _bwd_kernel_q(wtile_ref, cum_ref, starts_ref, counts_ref, nwork_ref,
         @pl.when(jnp.logical_not(sat))
         def _():
             window = scratch[jax.lax.rem(w, 2)]
-            data = pltpu.roll(window, 2 * chunk - shift, 1)[:, :chunk]
+            if direct_dma:
+                data = window
+            else:
+                data = pltpu.roll(window, 2 * chunk - shift, 1)[:, :chunk]
             valid = (ci * chunk + col) < count
             px, py = _pixel_coords(t, ts, ntx)
             ox = ((t % ntx) * ts).astype(jnp.float32)
@@ -770,9 +795,11 @@ def _bwd_kernel_q(wtile_ref, cum_ref, starts_ref, counts_ref, nwork_ref,
 def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
                grad_cap_mult=8, class_budgets=None, depth_bits=0,
                grad_frac=1.0, depth_grad=True, sort_buckets=0,
-               bucket_headroom=1.5, reduce_slices=0, queue=True):
+               bucket_headroom=1.5, reduce_slices=0, queue=True,
+               direct_dma=False):
     P = ts * ts
     T = ntx * nty
+    win = chunk if direct_dma else 2 * chunk
     n_slots = total_slots(N, max_t, class_budgets)
     # Flat-queue work capacity: total chunks <= n_isect/chunk + one partial
     # chunk per tile; n_isect <= n_slots. Pad steps past the dynamic work
@@ -848,7 +875,7 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
 
     fwd_call_q = pl.pallas_call(
         functools.partial(_fwd_kernel_q, ts=ts, ntx=ntx, chunk=chunk,
-                          w_cap=w_cap),
+                          w_cap=w_cap, direct_dma=direct_dma),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(w_cap,),
@@ -857,7 +884,7 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
                 (1, 8, P), lambda w, wt, *_: (wt[w], 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, 16, 2 * chunk), jnp.float32),
+                pltpu.VMEM((2, 16, win), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.VMEM((P, 1), jnp.float32),
                 pltpu.SMEM((2,), jnp.int32),
@@ -869,7 +896,8 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
 
     bwd_call_q = pl.pallas_call(
         functools.partial(_bwd_kernel_q, ts=ts, ntx=ntx, chunk=chunk,
-                          n_gaussians=N, w_cap=w_cap, grad_cap=grad_cap),
+                          n_gaussians=N, w_cap=w_cap, grad_cap=grad_cap,
+                          direct_dma=direct_dma),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(w_cap,),
@@ -884,7 +912,7 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
                              memory_space=pltpu.SMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, 16, 2 * chunk), jnp.float32),
+                pltpu.VMEM((2, 16, win), jnp.float32),
                 pltpu.VMEM((16, 2 * chunk), jnp.float32),
                 pltpu.VMEM((2, 16, chunk), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -1014,6 +1042,7 @@ def rasterize_tiled(
     with_stats=False,
     depth_grad=True,
     queue=True,
+    direct_dma=False,
 ):
     """Full tiled rasterization: payload-sort binning (XLA) + Pallas fwd/bwd.
 
@@ -1059,7 +1088,8 @@ def rasterize_tiled(
                       depth_grad=bool(depth_grad),
                       sort_buckets=int(sort_buckets),
                       bucket_headroom=float(bucket_headroom),
-                      reduce_slices=int(reduce_slices), queue=bool(queue))
+                      reduce_slices=int(reduce_slices), queue=bool(queue),
+                      direct_dma=bool(direct_dma))
     out, n_isect, n_dropped, n_budget_dropped, n_grad_dropped = core(
         means2d, conics, colors, opacities, depths, radii)
 

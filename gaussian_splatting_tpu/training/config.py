@@ -60,6 +60,12 @@ class TrainingConfig:
 
     # --- losses (reference :73) ---
     lambda_dssim: float = 0.2
+    # AMP-analog (reference trains under torch autocast, trainer.py:31,468):
+    # "bfloat16" runs the L1/SSIM image math in bf16 with f32 scalars.
+    # Measured on config 2 (see BENCH.md round 4): within noise on TPU —
+    # the hot path (kernels + sorts) is f32 by design, and the loss maps
+    # are a sub-ms fraction of the step. Kept as an option, off by default.
+    loss_dtype: str = "float32"
 
     # --- TPU execution ---
     tile_size: int = 16

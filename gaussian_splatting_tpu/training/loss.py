@@ -50,17 +50,31 @@ def psnr(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mse < 1e-10, 100.0, -10.0 * jnp.log10(jnp.maximum(mse, 1e-10)))
 
 
-def photometric_loss(rendered: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float):
+def photometric_loss(rendered: jnp.ndarray, gt: jnp.ndarray,
+                     lambda_dssim: float, dtype: str = "float32"):
     """(1-λ)·L1 + λ·(1-SSIM) on straight-through-clamped render.
-    Returns (loss, metrics dict)."""
+    Returns (loss, metrics dict).
+
+    ``dtype="bfloat16"`` runs the L1/SSIM image math in bf16 with f32
+    scalars — the AMP-analog experiment (reference trains under autocast,
+    ``trainer.py:31,468,505-511``). The loss maps are elementwise over
+    (H, W, 3); the final means and the returned loss are f32. PSNR is
+    always computed in f32 (it is a metric, not part of the objective)."""
     r = stclamp(rendered)
-    l1 = jnp.mean(jnp.abs(r - gt))
-    s = ssim(r, gt)
+    if dtype == "bfloat16":
+        rb = r.astype(jnp.bfloat16)
+        gb = gt.astype(jnp.bfloat16)
+        l1 = jnp.mean(jnp.abs(rb - gb).astype(jnp.float32))
+        s = ssim(rb, gb).astype(jnp.float32)
+    else:
+        l1 = jnp.mean(jnp.abs(r - gt))
+        s = ssim(r, gt)
     loss = (1.0 - lambda_dssim) * l1 + lambda_dssim * (1.0 - s)
     return loss, {
         "l1": l1,
         "ssim": s,
-        "psnr": psnr(jnp.clip(rendered, 0.0, 1.0), gt),
+        "psnr": psnr(jnp.clip(rendered.astype(jnp.float32), 0.0, 1.0),
+                     gt.astype(jnp.float32)),
     }
 
 

@@ -140,7 +140,9 @@ def make_train_step(
                     depth_grad=False,
                 )
                 radii_max = jnp.maximum(radii_max, jax.lax.stop_gradient(out.radii))
-                l, m = photometric_loss(out.render, image, config.lambda_dssim)
+                l, m = photometric_loss(out.render, image, config.lambda_dssim,
+                                        dtype=getattr(config, "loss_dtype",
+                                                      "float32"))
                 m_acc = {k: m_acc[k] + m[k] for k in m_acc}
                 if want_stats:
                     s_acc = {k: s_acc[k] + out.stats[k] for k in stat_keys}
