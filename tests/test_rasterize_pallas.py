@@ -623,3 +623,54 @@ def test_grad_buffer_frac_exact_and_starved(rng):
         m, c, col, o, d)
     for name, a3 in zip(["means2d", "conics", "colors", "opac", "depths"], g3):
         assert np.isfinite(np.asarray(a3)).all(), name
+
+
+def test_chunk_queue_construction():
+    """tiling.chunk_queue: tile-major work items, empty tiles skipped,
+    clamped pad tail."""
+    from gaussian_splatting_tpu.ops.tiling import chunk_queue
+
+    counts = jnp.asarray([300, 0, 256, 1, 0], jnp.int32)  # chunks: 2,0,1,1,0
+    wtile, cum, n_work = chunk_queue(counts, 256, w_cap=8)
+    assert int(n_work) == 4
+    np.testing.assert_array_equal(np.asarray(cum), [0, 2, 2, 3, 4, 4])
+    # Work items: tile 0 x2, tile 2, tile 3; pad tail clamps to T-1.
+    np.testing.assert_array_equal(np.asarray(wtile),
+                                  [0, 0, 2, 3, 4, 4, 4, 4])
+    # ci recovery: w - cum[wtile[w]] for real items.
+    ws = np.arange(4)
+    ci = ws - np.asarray(cum)[np.asarray(wtile)[:4]]
+    np.testing.assert_array_equal(ci, [0, 1, 0, 0])
+
+    # All-empty: n_work == 0, everything clamps.
+    wtile0, cum0, n0 = chunk_queue(jnp.zeros((3,), jnp.int32), 256, w_cap=4)
+    assert int(n0) == 0
+    np.testing.assert_array_equal(np.asarray(wtile0), [2, 2, 2, 2])
+
+
+def test_queue_modes_bit_identical(rng):
+    """The flat-queue kernels (default) against the round-3 while-loop
+    kernels and the direct-DMA queue variant: forward AND gradients must be
+    bit-identical — three lowerings of one algorithm (probe-backed on
+    hardware too; scratch/probe_queue_r4.py)."""
+    width = height = 48
+    args = _screen_gaussians(rng, 120, width, height)
+    radii = args[5]
+
+    def run(queue, direct):
+        def loss(*a):
+            img, alpha, depth = rasterize_tiled(
+                *a, radii, width, height, tile_size=16, chunk=128,
+                interpret=True, queue=queue, direct_dma=direct)
+            return jnp.sum(img * img) + jnp.sum(alpha), img
+        (l, img), g = jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3, 4), has_aux=True)(*args[:5])
+        return float(l), np.asarray(img), [np.asarray(x) for x in g]
+
+    l_loop, img_loop, g_loop = run(False, False)
+    for queue, direct in ((True, False), (True, True)):
+        l, img, g = run(queue, direct)
+        assert l == l_loop
+        np.testing.assert_array_equal(img, img_loop)
+        for a, b in zip(g, g_loop):
+            np.testing.assert_array_equal(a, b)
