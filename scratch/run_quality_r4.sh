@@ -18,8 +18,8 @@ timeout 14400 python benchmarks/config3_e2e_tpu.py 2000 \
     > scratch/r4_runs/config3.json 2> scratch/r4_runs/config3.err
 
 echo "[$(date +%H:%M:%S)] config 4: densify to 1M alive"
-# n_init 700k, topk 0.05, densify every 100 from step 200: reaches 1M
-# within ~8 events (~1000 steps); 1400 steps leaves trend room.
-timeout 14400 python benchmarks/densify_scale_tpu.py 1400 1100000 1.0 0.05 700000 200 \
+# n_init 760k, topk 0.05, densify every 100 from step 150: reaches 1M
+# within ~6 events (~750 steps); 1000 steps leaves trend room.
+timeout 10800 python benchmarks/densify_scale_tpu.py 1000 1100000 1.0 0.05 760000 150 \
     > scratch/r4_runs/densify1m.json 2> scratch/r4_runs/densify1m.err
 echo "[$(date +%H:%M:%S)] all done"
