@@ -1066,10 +1066,13 @@ def rasterize_tiled(
 
     ``queue=True`` (default) runs the kernels on the flat chunk queue (one
     chunk per grid step, ``tiling.chunk_queue``) instead of the round-3
-    per-tile while_loop sweep — bit-identical output, measured ~1.7x on the
-    kernel stages at the 1M/1080p bench (the loop cond's vector-reduce ->
-    scalar -> branch chain stalls the pipeline every chunk). ``queue=False``
-    keeps the loop kernels for A/B.
+    per-tile while_loop sweep — bit-identical output. Isolated per-chunk
+    probes pipeline at ~1.2 us/chunk vs the loop's ~2.1 (the loop cond's
+    vector-reduce -> scalar -> branch chain stalls the pipeline every
+    chunk), but in situ at the 1M/1080p bench the queue only matched the
+    loop kernels (fwd 97.2 vs 99.4 ms; BENCH.md round 4) — the residual tax
+    is data-layout work, not the loop. ``queue=False`` keeps the loop
+    kernels for A/B.
     """
     N = means2d.shape[0]
     ts = tile_size
