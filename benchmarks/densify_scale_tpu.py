@@ -6,7 +6,13 @@ Self-consistency scene: GT = 400k-gaussian ball rendered by this renderer
 at 1080p from 16 cameras; training starts from 60k noisy GT points and
 densifies with the rank-threshold schedule toward max_gaussians.
 
-Run: python benchmarks/densify_scale_tpu.py [iters] [max_gaussians] [scale] [topk] [n_init] [densify_from]
+Run: python benchmarks/densify_scale_tpu.py [iters] [max_gaussians] [scale] [topk] [n_init] [densify_from] [out_dir]
+
+``out_dir`` (default: a fresh tempdir) makes the run resumable: the
+trainer checkpoints before every capacity-growth recompile (the step
+that OOM'd the round-4 run and lost everything), and when ``out_dir``
+already holds a checkpoint this script resumes from the newest one
+instead of restarting.
 
 ``topk`` (default 0.05) is the rank-threshold densify fraction — the
 growth rate per densify event. 0.05 needs ~5800 iters to reach 1M from
@@ -30,6 +36,7 @@ def main():
     topk = float(sys.argv[4]) if len(sys.argv) > 4 else 0.05
     n_init_arg = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     densify_from = int(sys.argv[6]) if len(sys.argv) > 6 else 300
+    out_dir_arg = sys.argv[7] if len(sys.argv) > 7 else None
 
     import os
     import sys as _sys
@@ -103,13 +110,26 @@ def main():
         reduce_slices=4,  # measured faster at 1080p-scale sorts (BENCH.md)
     )
     trainer = GaussianTrainer(cfg)
-    import tempfile
-    out_dir = tempfile.mkdtemp(prefix="gs_densify_scale_")
+    if out_dir_arg:
+        out_dir = out_dir_arg
+        os.makedirs(out_dir, exist_ok=True)
+    else:
+        import tempfile
+        out_dir = tempfile.mkdtemp(prefix="gs_densify_scale_")
+    # Resume from the newest checkpoint in out_dir (pre-growth checkpoints
+    # included) so a crashed recompile costs minutes, not the whole run.
+    resume_from = None
+    import glob
+    cks = glob.glob(os.path.join(out_dir, "*.npz"))
+    if cks:
+        resume_from = max(cks, key=os.path.getmtime)
+        print(f"resuming from {resume_from}", file=sys.stderr)
     t0 = time.time()
     state = trainer.train(
         ds, out_dir,
         points=pts[sub] + rng.normal(size=(n_init, 3)).astype(np.float32) * 0.02,
-        colors=cols[sub])
+        colors=cols[sub],
+        resume_from=resume_from)
     t_train = time.time() - t0
 
     curve, growth, last_stats = [], [], {}

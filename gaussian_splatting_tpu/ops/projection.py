@@ -20,12 +20,12 @@ Gaussians behind the near plane or with degenerate covariance are masked out
 (radius = 0), never dropped — static shapes everywhere.
 """
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from gaussian_splatting_tpu.core.quaternions import quat_normalize, quat_to_rotmat
+# (quaternion normalization is inlined in _rotmat_cols in column form)
 
 
 class Projected(NamedTuple):
@@ -38,12 +38,58 @@ class Projected(NamedTuple):
     compensations: jnp.ndarray  # (N,) det ratio (antialiasing compensation factor)
 
 
+def _rotmat_cols(q: jnp.ndarray, eps: float = 1e-12) -> Tuple[jnp.ndarray, ...]:
+    """The 9 rotation-matrix entries of quats (w, x, y, z) as separate
+    (...,) columns — row-major (r00, r01, r02, r10, ..., r22). Normalizes in
+    column form and never stacks into (..., 3, 3) or (..., 4): XLA:TPU tiles
+    a trailing (3, 3) to T(4, 128) at 56.9x padding, which materialized
+    1.91 GB temps per (N,3,3) buffer in the 1M-gaussian backward and OOM'd
+    the round-4 config-4 run (scratch/r4_runs/config4.err)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    # Column-form quat_normalize (same max(norm, eps) guard).
+    inv = 1.0 / jnp.maximum(jnp.sqrt(w * w + x * x + y * y + z * z), eps)
+    w, x, y, z = w * inv, x * inv, y * inv, z * inv
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return (
+        1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy),
+        2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx),
+        2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy),
+    )
+
+
+def compute_cov3d_cols(
+    quats: jnp.ndarray, scales: jnp.ndarray
+) -> Tuple[jnp.ndarray, ...]:
+    """The six upper-triangular entries of Sigma3 = R S S^T R^T as separate
+    (...,) columns (s00, s01, s02, s11, s12, s22). quats (..., 4) raw
+    (normalized here), scales (..., 3) already exp-activated.
+
+    Column form on purpose: Sigma_ij = sum_k R_ik s_k^2 R_jk expands to
+    elementwise math over (N,) vectors, so no (N, 3, 3) array ever exists —
+    see _rotmat_cols for why that matters at production N."""
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = _rotmat_cols(quats)
+    v0 = scales[..., 0] * scales[..., 0]
+    v1 = scales[..., 1] * scales[..., 1]
+    v2 = scales[..., 2] * scales[..., 2]
+    s00 = r00 * r00 * v0 + r01 * r01 * v1 + r02 * r02 * v2
+    s01 = r00 * r10 * v0 + r01 * r11 * v1 + r02 * r12 * v2
+    s02 = r00 * r20 * v0 + r01 * r21 * v1 + r02 * r22 * v2
+    s11 = r10 * r10 * v0 + r11 * r11 * v1 + r12 * r12 * v2
+    s12 = r10 * r20 * v0 + r11 * r21 * v1 + r12 * r22 * v2
+    s22 = r20 * r20 * v0 + r21 * r21 * v1 + r22 * r22 * v2
+    return s00, s01, s02, s11, s12, s22
+
+
 def compute_cov3d(quats: jnp.ndarray, scales: jnp.ndarray) -> jnp.ndarray:
-    """Sigma3 = R S S^T R^T. quats (N,4) raw (normalized here), scales (N,3)
-    already exp-activated. Returns (N, 3, 3)."""
-    R = quat_to_rotmat(quat_normalize(quats))
-    M = R * scales[..., None, :]  # R @ diag(s)
-    return M @ jnp.swapaxes(M, -1, -2)
+    """Sigma3 = R S S^T R^T as a dense (N, 3, 3) array — small-N/test
+    convenience wrapper over compute_cov3d_cols (the hot path must use the
+    column form; a materialized (N,3,3) pads 56.9x on TPU)."""
+    s00, s01, s02, s11, s12, s22 = compute_cov3d_cols(quats, scales)
+    rows = jnp.stack(
+        [s00, s01, s02, s01, s11, s12, s02, s12, s22], axis=-1)
+    return rows.reshape(rows.shape[:-1] + (3, 3))
 
 
 def project_gaussians(
@@ -70,13 +116,38 @@ def project_gaussians(
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
 
-    p_cam = means @ R_wc.T + t_wc  # (N, 3)
-    x, y, z = p_cam[:, 0], p_cam[:, 1], p_cam[:, 2]
+    # Everything below is column math over (N,) vectors — no (N, 3, 3),
+    # (N, 2, 3), or (N, 2, 2) intermediate ever exists. XLA:TPU tiles
+    # trailing small dims to T(4/8, 128) (42.7x for (N,3), 56.9x for
+    # (N,3,3)); at 1M gaussians those paddings materialized multi-GB HLO
+    # temps at jit/scan boundaries and OOM'd the 16G chip
+    # (scratch/r4_runs/config4.err — the round-4 config-4 crash).
+    m0, m1, m2 = means[:, 0], means[:, 1], means[:, 2]
+    x = R_wc[0, 0] * m0 + R_wc[0, 1] * m1 + R_wc[0, 2] * m2 + t_wc[0]
+    y = R_wc[1, 0] * m0 + R_wc[1, 1] * m1 + R_wc[1, 2] * m2 + t_wc[1]
+    z = R_wc[2, 0] * m0 + R_wc[2, 1] * m1 + R_wc[2, 2] * m2 + t_wc[2]
     # Depth guard: clamp z away from 0 for the math; visibility handled by mask.
     zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
 
-    cov3d = compute_cov3d(quats, scales)                # (N, 3, 3)
-    cov_cam = jnp.einsum("ij,njk,lk->nil", R_wc, cov3d, R_wc)  # (N, 3, 3)
+    s00, s01, s02, s11, s12, s22 = compute_cov3d_cols(quats, scales)
+
+    # cov_cam = R_wc Sigma3 R_wc^T, via B = Sigma3 R_wc^T then A = R_wc B.
+    # R_wc entries are per-camera scalars, so every product is (N,)-sized.
+    b00 = s00 * R_wc[0, 0] + s01 * R_wc[0, 1] + s02 * R_wc[0, 2]
+    b01 = s00 * R_wc[1, 0] + s01 * R_wc[1, 1] + s02 * R_wc[1, 2]
+    b02 = s00 * R_wc[2, 0] + s01 * R_wc[2, 1] + s02 * R_wc[2, 2]
+    b10 = s01 * R_wc[0, 0] + s11 * R_wc[0, 1] + s12 * R_wc[0, 2]
+    b11 = s01 * R_wc[1, 0] + s11 * R_wc[1, 1] + s12 * R_wc[1, 2]
+    b12 = s01 * R_wc[2, 0] + s11 * R_wc[2, 1] + s12 * R_wc[2, 2]
+    b20 = s02 * R_wc[0, 0] + s12 * R_wc[0, 1] + s22 * R_wc[0, 2]
+    b21 = s02 * R_wc[1, 0] + s12 * R_wc[1, 1] + s22 * R_wc[1, 2]
+    b22 = s02 * R_wc[2, 0] + s12 * R_wc[2, 1] + s22 * R_wc[2, 2]
+    c00 = R_wc[0, 0] * b00 + R_wc[0, 1] * b10 + R_wc[0, 2] * b20
+    c01 = R_wc[0, 0] * b01 + R_wc[0, 1] * b11 + R_wc[0, 2] * b21
+    c02 = R_wc[0, 0] * b02 + R_wc[0, 1] * b12 + R_wc[0, 2] * b22
+    c11 = R_wc[1, 0] * b01 + R_wc[1, 1] * b11 + R_wc[1, 2] * b21
+    c12 = R_wc[1, 0] * b02 + R_wc[1, 1] * b12 + R_wc[1, 2] * b22
+    c22 = R_wc[2, 0] * b02 + R_wc[2, 1] * b12 + R_wc[2, 2] * b22
 
     # Frustum-limited Jacobian: clamp x/z, y/z into 1.3x the view cone so
     # off-screen gaussians don't produce exploding covariances.
@@ -89,18 +160,15 @@ def project_gaussians(
 
     rz = 1.0 / zs
     rz2 = rz * rz
-    # J (N, 2, 3)
-    J = jnp.stack(
-        [
-            jnp.stack([fx * rz, jnp.zeros_like(rz), -fx * tx * rz2], axis=-1),
-            jnp.stack([jnp.zeros_like(rz), fy * rz, -fy * ty * rz2], axis=-1),
-        ],
-        axis=-2,
-    )
-    cov2d = jnp.einsum("nij,njk,nlk->nil", J, cov_cam, J)  # (N, 2, 2)
-    a = cov2d[:, 0, 0]
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1]
+    # J rows: (fx*rz, 0, -fx*tx*rz2) and (0, fy*rz, -fy*ty*rz2);
+    # cov2d = J cov_cam J^T expanded entrywise.
+    j00 = fx * rz
+    j02 = -fx * tx * rz2
+    j11 = fy * rz
+    j12 = -fy * ty * rz2
+    a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22)
+    b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
+    c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22)
 
     det_orig = a * c - b * b
     a = a + eps2d

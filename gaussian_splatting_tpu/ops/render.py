@@ -16,7 +16,6 @@ from typing import NamedTuple, Optional
 import jax.numpy as jnp
 
 from gaussian_splatting_tpu.core.activations import opacity_activation, scale_activation
-from gaussian_splatting_tpu.core.quaternions import quat_normalize
 from gaussian_splatting_tpu.core.sh import sh_to_color
 from gaussian_splatting_tpu.ops.projection import project_gaussians
 from gaussian_splatting_tpu.ops.rasterize_ref import rasterize_reference
@@ -73,11 +72,13 @@ def render(
     """
     scales = scale_activation(log_scales)
     opac = opacity_activation(logit_opacities.reshape(-1))
-    quats_n = quat_normalize(quats)
+    # (quats are normalized inside project_gaussians, in column form — an
+    # explicit (N,4) quat_normalize here would materialize a 32x-padded temp
+    # at production N; see ops/projection._rotmat_cols.)
 
     # Opacity-aware radii: the pre-compensation opacity is an upper bound on
     # the effective one, so the shrunken support stays exact.
-    proj = project_gaussians(means, quats_n, scales, viewmat, K, width, height,
+    proj = project_gaussians(means, quats, scales, viewmat, K, width, height,
                              opacities=opac)
     if rasterize_mode == "antialiased":
         opac = opac * proj.compensations
@@ -160,8 +161,7 @@ def render_grad_meta(
 
     scales = scale_activation(log_scales)
     opac = opacity_activation(logit_opacities.reshape(-1))
-    quats_n = quat_normalize(quats)
-    proj = project_gaussians(means, quats_n, scales, viewmat, K, width, height,
+    proj = project_gaussians(means, quats, scales, viewmat, K, width, height,
                              opacities=opac)
     if rasterize_mode == "antialiased":
         opac = opac * proj.compensations

@@ -442,7 +442,17 @@ class GaussianTrainer:
                         int(cfg.max_gaussians),
                     )
                     new_cap = ((new_cap + 2047) // 2048) * 2048
-                    log.info("growing capacity %d -> %d", state.gauss.capacity, new_cap)
+                    # Capacity growth forces a recompile at a never-compiled
+                    # shape — the one step that can fail outright (the
+                    # round-4 config-4 run died in an HBM OOM here and lost
+                    # everything). Checkpoint first so a failed growth is
+                    # resumable via train(..., resume_from=...).
+                    ck = out / "pre_growth.npz"
+                    save_checkpoint(str(ck), state,
+                                    extra=self._render_meta(extent))
+                    log.info("growing capacity %d -> %d (pre-growth "
+                             "checkpoint: %s)", state.gauss.capacity, new_cap,
+                             ck)
                     gauss = grow_capacity(state.gauss, new_cap)
                     opt = AdamState(
                         mu=jax.tree_util.tree_map(
