@@ -796,11 +796,13 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
                grad_cap_mult=8, class_budgets=None, depth_bits=0,
                grad_frac=1.0, depth_grad=True, sort_buckets=0,
                bucket_headroom=1.5, reduce_slices=0, queue=True,
-               direct_dma=False):
+               direct_dma=False, sort_bands=0):
     P = ts * ts
     T = ntx * nty
     win = chunk if direct_dma else 2 * chunk
-    n_slots = total_slots(N, max_t, class_budgets)
+    # Band-split binning re-enumerates per band with shared class budgets:
+    # the concatenated SoA is sort_bands x the single-band slot count.
+    n_slots = total_slots(N, max_t, class_budgets) * max(int(sort_bands), 1)
     # Flat-queue work capacity: total chunks <= n_isect/chunk + one partial
     # chunk per tile; n_isect <= n_slots. Pad steps past the dynamic work
     # count are in-kernel no-ops.
@@ -968,7 +970,8 @@ def _make_core(ts, ntx, nty, chunk, N, max_t, width, height, interpret,
             means2d, conics, colors, opacities, depths, radii,
             width, height, ts, chunk, max_t, class_budgets=class_budgets,
             depth_bits=depth_bits, sort_buckets=sort_buckets,
-            bucket_headroom=bucket_headroom, interpret=interpret,
+            bucket_headroom=bucket_headroom, sort_bands=sort_bands,
+            interpret=interpret,
         )
 
     @jax.custom_vjp
@@ -1038,6 +1041,7 @@ def rasterize_tiled(
     sort_buckets=0,
     bucket_headroom=1.5,
     reduce_slices=0,
+    sort_bands=0,
     interpret=None,
     with_stats=False,
     depth_grad=True,
@@ -1092,7 +1096,7 @@ def rasterize_tiled(
                       sort_buckets=int(sort_buckets),
                       bucket_headroom=float(bucket_headroom),
                       reduce_slices=int(reduce_slices), queue=bool(queue),
-                      direct_dma=bool(direct_dma))
+                      direct_dma=bool(direct_dma), sort_bands=int(sort_bands))
     out, n_isect, n_dropped, n_budget_dropped, n_grad_dropped = core(
         means2d, conics, colors, opacities, depths, radii)
 
@@ -1117,7 +1121,7 @@ def rasterize_grad_meta(
     means2d, conics, colors, opacities, depths, radii, width, height,
     tile_size=16, chunk=256, max_tiles_per_gaussian=16, class_budgets=None,
     depth_bits=0, grad_buffer_frac=1.0, sort_buckets=0, bucket_headroom=1.5,
-    interpret=None, queue=True,
+    sort_bands=0, interpret=None, queue=True,
 ):
     """Exact gradient-buffer occupancy for one render: returns the int
     triple (n_written, n_dropped, grad_cap) from a real backward sweep.
@@ -1138,5 +1142,5 @@ def rasterize_grad_meta(
                       grad_frac=float(grad_buffer_frac),
                       sort_buckets=int(sort_buckets),
                       bucket_headroom=float(bucket_headroom),
-                      queue=bool(queue))
+                      queue=bool(queue), sort_bands=int(sort_bands))
     return core.probe_meta(means2d, conics, colors, opacities, depths, radii)

@@ -54,6 +54,7 @@ def render(
     sort_buckets: int = 0,
     bucket_headroom: float = 1.5,
     reduce_slices: int = 0,
+    sort_bands: int = 0,
     rasterize_mode: str = "classic",
     with_stats: bool = False,
     depth_grad: bool = True,
@@ -111,7 +112,7 @@ def render(
             class_budgets=class_budgets, depth_bits=depth_bits,
             grad_buffer_frac=grad_buffer_frac,
             sort_buckets=sort_buckets, bucket_headroom=bucket_headroom,
-            reduce_slices=reduce_slices,
+            reduce_slices=reduce_slices, sort_bands=sort_bands,
             with_stats=with_stats,
             depth_grad=depth_grad,
         )
@@ -152,7 +153,7 @@ def render_grad_meta(
     width, height, sh_degree=3, tile_size=16, max_tiles_per_gaussian=16,
     raster_chunk=256, class_budgets=None, depth_bits=0,
     grad_buffer_frac=1.0, sort_buckets=0, bucket_headroom=1.5,
-    rasterize_mode="classic",
+    sort_bands=0, rasterize_mode="classic",
 ):
     """Exact gradient-buffer occupancy (n_written, n_dropped, grad_cap) for
     one view through the pallas backend — the trainer's probe for sizing
@@ -178,4 +179,5 @@ def render_grad_meta(
         class_budgets=class_budgets, depth_bits=depth_bits,
         grad_buffer_frac=grad_buffer_frac,
         sort_buckets=sort_buckets, bucket_headroom=bucket_headroom,
+        sort_bands=sort_bands,
     )

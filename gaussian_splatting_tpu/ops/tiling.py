@@ -204,7 +204,8 @@ def _gate_q(opacities):
         2.0 * (jnp.log(255.0 * jnp.maximum(opacities, 1e-12)) + 1e-3), 0.0)
 
 
-def _tile_rects(means2d, conics, opacities, radii, width, height, ts, max_t):
+def _tile_rects(means2d, conics, opacities, radii, width, height, ts, max_t,
+                row_lo: int = 0, row_hi: Optional[int] = None):
     """Sheared-window tile geometry per gaussian.
 
     Instead of the radius bbox (nx*ny tiles, most of which a thin ellipse
@@ -216,9 +217,15 @@ def _tile_rects(means2d, conics, opacities, radii, width, height, ts, max_t):
     <= 2*sqrt(Q/ca)). Rows/columns come from the exact gate-ellipse AABB
     (x extent sqrt(Q*cc/det), y extent sqrt(Q*ca/det)) intersected with the
     radius bbox, so behavior is a strict subset of the old bbox enumeration.
+
+    ``row_lo/row_hi`` clip the enumerated tile rows to a horizontal band
+    (the band-split sort, ``sort_bands``): the gaussian's footprint within
+    [row_lo, row_hi) only. Defaults cover the full grid.
     Returns (ntx, nty, tx0, ty0, nx, wt, n_tiles, n_capped)."""
     ntx = cdiv(width, ts)
     nty = cdiv(height, ts)
+    if row_hi is None:
+        row_hi = nty
     valid = (radii > 0) & (opacities >= OPACITY_CULL)
     r = radii.astype(jnp.float32)
     mx, my = means2d[:, 0], means2d[:, 1]
@@ -230,8 +237,8 @@ def _tile_rects(means2d, conics, opacities, radii, width, height, ts, max_t):
     ye = jnp.minimum(r, jnp.sqrt(Q * ca_s / det_s) + _WINDOW_EPS)
     tx0 = jnp.clip(jnp.floor((mx - xe) / ts), 0, ntx).astype(jnp.int32)
     tx1 = jnp.clip(jnp.ceil((mx + xe) / ts), 0, ntx).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((my - ye) / ts), 0, nty).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.ceil((my + ye) / ts), 0, nty).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((my - ye) / ts), row_lo, row_hi).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.ceil((my + ye) / ts), row_lo, row_hi).astype(jnp.int32)
     nx = jnp.where(valid, jnp.maximum(tx1 - tx0, 0), 0)
     ny = jnp.where(valid, jnp.maximum(ty1 - ty0, 0), 0)
     w_px = (jnp.abs(cb) * ts + 2.0 * jnp.sqrt(Q * ca_s)) / ca_s + 2.0 * _WINDOW_EPS
@@ -439,6 +446,7 @@ def isect_and_sort(
     depth_bits: int = 0,
     sort_buckets: int = 0,
     bucket_headroom: float = 1.5,
+    sort_bands: int = 0,
     interpret: Optional[bool] = None,
     _skip_final_sort: bool = False,
 ) -> TileBinning:
@@ -467,16 +475,106 @@ def isect_and_sort(
     ``n_bucket_dropped`` (never silent). Bucket order within each tile is
     exact (tile, depth) — ``depth_bits`` is ignored on this path (it is a
     flat-sort cost knob; the batched sort pays little for the second key).
+
+    ``sort_bands = K > 1`` splits the screen into K horizontal tile-row
+    bands, each enumerated and sorted independently (``_band_binned``) —
+    the XLA-only way to ride the short-sort rate: disjoint tile ranges
+    concatenate back into global tile order with no partition kernel.
+    Exclusive with ``sort_buckets``; ``depth_bits`` is ignored (bands use
+    the exact two-key sort).
     """
     N = means2d.shape[0]
     assert N < (1 << 24), "gaussian ids must be exact in f32"
     ts = tile_size
     max_t = max_tiles_per_gaussian
-    ntx, nty, tx0, ty0, nx, wt, n_tiles, n_capped = _tile_rects(
-        means2d, conics, opacities, radii, width, height, ts, max_t)
+    ntx = cdiv(width, ts)
+    nty = cdiv(height, ts)
     T = ntx * nty
-    n_dropped = jnp.sum(n_tiles - n_capped)
     gauss_f32 = jnp.arange(N, dtype=jnp.float32)
+
+    if sort_bands and sort_bands > 1 and not _skip_final_sort:
+        assert not sort_buckets, "sort_bands and sort_buckets are exclusive"
+        return _band_binned(
+            means2d, conics, colors, opacities, depths, radii, gauss_f32,
+            width, height, ts, chunk, max_t, class_budgets, int(sort_bands),
+            ntx, nty, T, interpret)
+
+    tile_key, quantity_cols, n_isect, n_budget_dropped, n_dropped = (
+        _enumerate_slots(
+            means2d, conics, colors, opacities, depths, radii, gauss_f32,
+            width, height, ts, max_t, class_budgets, ntx, T))
+
+    M = tile_key.shape[0]
+    n_bucket_dropped = jnp.zeros((), jnp.int32)
+    if sort_buckets and not _skip_final_sort:
+        return _bucket_binned(
+            tile_key, quantity_cols, T, M, chunk, int(sort_buckets),
+            float(bucket_headroom), n_isect, n_dropped, n_budget_dropped,
+            interpret)
+    if _skip_final_sort:
+        # Profiling-only: bypass the big sort (output is NOT render-valid).
+        sorted_ops = (tile_key,) + quantity_cols
+        query = jnp.arange(T + 1, dtype=jnp.int32)
+    elif depth_bits:
+        assert (T + 1) < (1 << (31 - depth_bits)), \
+            "tile grid too large for the combined sort key"
+        levels = (1 << depth_bits) - 1
+        depth_col = quantity_cols[0]
+        real = tile_key < T
+        inf = jnp.float32(jnp.inf)
+        dmin = jnp.min(jnp.where(real, depth_col, inf))
+        dmax = jnp.max(jnp.where(real, depth_col, -inf))
+        scale = levels / jnp.maximum(dmax - dmin, 1e-20)
+        qd = jnp.clip((depth_col - dmin) * scale, 0, levels).astype(jnp.int32)
+        key = tile_key * (1 << depth_bits) + jnp.where(real, qd, 0)
+        sorted_ops = jax.lax.sort((key,) + quantity_cols, num_keys=1)
+        query = jnp.arange(T + 1, dtype=jnp.int32) * (1 << depth_bits)
+    else:
+        sorted_ops = jax.lax.sort((tile_key,) + quantity_cols, num_keys=2)
+        query = jnp.arange(T + 1, dtype=jnp.int32)
+    s_depth = sorted_ops[1]
+    (s_mx, s_my, s_ca, s_cb, s_cc, s_op, s_r, s_g, s_b, s_gid) = sorted_ops[2:]
+
+    tile_starts = jnp.searchsorted(sorted_ops[0], query).astype(jnp.int32)
+    counts = tile_starts[1:] - tile_starts[:-1]
+    chunks_per_tile = cdiv(counts, chunk)
+    padded_starts = (
+        chunk * (jnp.cumsum(chunks_per_tile) - chunks_per_tile)
+    ).astype(jnp.int32)
+
+    # Pack into the kernel SoA, padded by >= 2*chunk so aligned window reads
+    # never run off the end. Sentinel-slot entries sit past every tile's
+    # segment and are additionally masked in-kernel by the counts. One
+    # Pallas pass (pack_soa) — jnp.stack + jnp.pad lowered to ~10 ms of
+    # strided copies here (measured at the 1M bench; see BENCH.md).
+    soa = pack_soa(
+        (s_mx, s_my, s_ca, s_cb, s_cc, s_op, s_r, s_g, s_b, s_depth, s_gid),
+        pad=2 * chunk, interpret=interpret)
+    return TileBinning(
+        sorted_soa=soa,
+        tile_starts=tile_starts,
+        counts=counts,
+        padded_starts=padded_starts,
+        n_isect=n_isect,
+        n_dropped=n_dropped,
+        n_budget_dropped=n_budget_dropped,
+        n_bucket_dropped=n_bucket_dropped,
+    )
+
+
+def _enumerate_slots(means2d, conics, colors, opacities, depths, radii,
+                     gauss_f32, width, height, ts, max_t, class_budgets,
+                     ntx, T, row_lo: int = 0, row_hi: Optional[int] = None):
+    """Slot enumeration (dense or compact footprint-class expansion) over
+    the tile rows [row_lo, row_hi) — the full grid by default, one band in
+    the ``sort_bands`` path. Returns ``(tile_key, quantity_cols, n_isect,
+    n_budget_dropped, n_dropped)`` with quantity_cols in SoA order
+    (depth, mx, my, ca, cb, cc, op, r, g, b, gid)."""
+    N = means2d.shape[0]
+    _, _, tx0, ty0, nx, wt, n_tiles, n_capped = _tile_rects(
+        means2d, conics, opacities, radii, width, height, ts, max_t,
+        row_lo=row_lo, row_hi=row_hi)
+    n_dropped = jnp.sum(n_tiles - n_capped)
 
     if class_budgets is None:
         # Dense slot enumeration, laid out (MAX_T, N) so the vector lanes ride
@@ -596,52 +694,80 @@ def isect_and_sort(
         quantity_cols = tuple(jnp.concatenate(p) for p in q_parts)
         n_isect = jnp.sum((tile_key < T).astype(jnp.int32))
 
-    M = tile_key.shape[0]
-    n_bucket_dropped = jnp.zeros((), jnp.int32)
-    if sort_buckets and not _skip_final_sort:
-        return _bucket_binned(
-            tile_key, quantity_cols, T, M, chunk, int(sort_buckets),
-            float(bucket_headroom), n_isect, n_dropped, n_budget_dropped,
-            interpret)
-    if _skip_final_sort:
-        # Profiling-only: bypass the big sort (output is NOT render-valid).
-        sorted_ops = (tile_key,) + quantity_cols
-        query = jnp.arange(T + 1, dtype=jnp.int32)
-    elif depth_bits:
-        assert (T + 1) < (1 << (31 - depth_bits)), \
-            "tile grid too large for the combined sort key"
-        levels = (1 << depth_bits) - 1
-        depth_col = quantity_cols[0]
-        real = tile_key < T
-        inf = jnp.float32(jnp.inf)
-        dmin = jnp.min(jnp.where(real, depth_col, inf))
-        dmax = jnp.max(jnp.where(real, depth_col, -inf))
-        scale = levels / jnp.maximum(dmax - dmin, 1e-20)
-        qd = jnp.clip((depth_col - dmin) * scale, 0, levels).astype(jnp.int32)
-        key = tile_key * (1 << depth_bits) + jnp.where(real, qd, 0)
-        sorted_ops = jax.lax.sort((key,) + quantity_cols, num_keys=1)
-        query = jnp.arange(T + 1, dtype=jnp.int32) * (1 << depth_bits)
-    else:
-        sorted_ops = jax.lax.sort((tile_key,) + quantity_cols, num_keys=2)
-        query = jnp.arange(T + 1, dtype=jnp.int32)
-    s_depth = sorted_ops[1]
-    (s_mx, s_my, s_ca, s_cb, s_cc, s_op, s_r, s_g, s_b, s_gid) = sorted_ops[2:]
+    return tile_key, quantity_cols, n_isect, n_budget_dropped, n_dropped
 
-    tile_starts = jnp.searchsorted(sorted_ops[0], query).astype(jnp.int32)
-    counts = tile_starts[1:] - tile_starts[:-1]
+
+def _band_binned(means2d, conics, colors, opacities, depths, radii,
+                 gauss_f32, width, height, ts, chunk, max_t, class_budgets,
+                 K, ntx, nty, T, interpret):
+    """Band-split binning: K independent (tile, depth) sorts over disjoint
+    horizontal tile-row bands, concatenated in band order.
+
+    Tiles in different bands never interleave in the global tile order
+    (tile = ty*ntx + tx, bands are contiguous ty ranges), so per-band sorts
+    concatenated ARE the global per-tile order — and ``lax.sort`` is
+    strongly superlinear in row length (measured ~11 ns/entry for the
+    12-operand sort at 4.7M vs ~6 ns/entry at 600k slices; BENCH.md), so K
+    short sorts beat one flat sort with zero new kernels and no data
+    movement. Each band re-enumerates the footprints clipped to its rows
+    (``_tile_rects(row_lo, row_hi)``): a gaussian spanning a band boundary
+    expands in both bands — boundary-crossing inflation, typically a few
+    percent at 16 px tiles.
+
+    ``class_budgets`` (one tuple) is shared by every band: per-class
+    budgets must cover the heaviest band (the trainer measures per-band
+    class histograms and takes the max). Per-band sort size is
+    ``total_slots(N, max_t, class_budgets)``; the concatenated SoA is K of
+    those. Per-band overflow (budget and tile-cap) sums into the global
+    counters. Sentinel slots sink to each band's tail — interior to the
+    concatenated stream but past every tile's segment, exactly like the
+    flat path's single tail.
+    """
+    band_h = cdiv(nty, K)
+    streams = []
+    n_isect = jnp.zeros((), jnp.int32)
+    n_budget_dropped = jnp.zeros((), jnp.int32)
+    n_dropped = jnp.zeros((), jnp.int32)
+    starts_parts, counts_parts = [], []
+    off = 0
+    for k in range(K):
+        lo = min(k * band_h, nty)
+        hi = min((k + 1) * band_h, nty)
+        tile_key, quantity_cols, n_is_k, n_bd_k, n_dr_k = _enumerate_slots(
+            means2d, conics, colors, opacities, depths, radii, gauss_f32,
+            width, height, ts, max_t, class_budgets, ntx, T,
+            row_lo=lo, row_hi=hi)
+        n_isect = n_isect + n_is_k
+        n_budget_dropped = n_budget_dropped + n_bd_k
+        n_dropped = n_dropped + n_dr_k
+        sorted_ops = jax.lax.sort((tile_key,) + quantity_cols, num_keys=2)
+        # Band k holds tiles [lo*ntx, hi*ntx); sentinels carry T > hi*ntx
+        # (for the last band the hi*ntx == T query still lands at the
+        # sentinel run's start), so band-local searchsorted gives exact
+        # per-tile starts/counts.
+        query = jnp.arange(lo * ntx, hi * ntx + 1, dtype=jnp.int32)
+        ss = jnp.searchsorted(sorted_ops[0], query).astype(jnp.int32)
+        starts_parts.append(ss[:-1] + off)
+        counts_parts.append(ss[1:] - ss[:-1])
+        streams.append(sorted_ops)
+        off += tile_key.shape[0]
+
+    tile_starts = jnp.concatenate(
+        starts_parts + [jnp.full((1,), off, jnp.int32)])
+    counts = jnp.concatenate(counts_parts)
     chunks_per_tile = cdiv(counts, chunk)
     padded_starts = (
         chunk * (jnp.cumsum(chunks_per_tile) - chunks_per_tile)
     ).astype(jnp.int32)
 
-    # Pack into the kernel SoA, padded by >= 2*chunk so aligned window reads
-    # never run off the end. Sentinel-slot entries sit past every tile's
-    # segment and are additionally masked in-kernel by the counts. One
-    # Pallas pass (pack_soa) — jnp.stack + jnp.pad lowered to ~10 ms of
-    # strided copies here (measured at the 1M bench; see BENCH.md).
-    soa = pack_soa(
-        (s_mx, s_my, s_ca, s_cb, s_cc, s_op, s_r, s_g, s_b, s_depth, s_gid),
-        pad=2 * chunk, interpret=interpret)
+    # Concatenate the band streams row-wise, then pack (one bandwidth-bound
+    # pass; the concat itself fuses into pack_soa's blocked reads).
+    rows = []
+    for qi in (2, 3, 4, 5, 6, 7, 8, 9, 10, 1, 11):
+        # SoA row order: mx my ca cb cc op r g b depth gid; sorted_ops is
+        # (key, depth, mx, my, ca, cb, cc, op, r, g, b, gid).
+        rows.append(jnp.concatenate([s[qi] for s in streams]))
+    soa = pack_soa(tuple(rows), pad=2 * chunk, interpret=interpret)
     return TileBinning(
         sorted_soa=soa,
         tile_starts=tile_starts,
@@ -650,7 +776,7 @@ def isect_and_sort(
         n_isect=n_isect,
         n_dropped=n_dropped,
         n_budget_dropped=n_budget_dropped,
-        n_bucket_dropped=n_bucket_dropped,
+        n_bucket_dropped=jnp.zeros((), jnp.int32),
     )
 
 

@@ -179,6 +179,7 @@ def make_sharded_train_step(
                     sort_buckets=config.sort_buckets,
                     bucket_headroom=config.partition_headroom,
                     reduce_slices=config.reduce_slices,
+                    sort_bands=getattr(config, "sort_bands", 0),
                     with_stats=True,
                     depth_grad=False,
                 )

@@ -97,6 +97,12 @@ class TrainingConfig:
     # Ignores sort_depth_bits (bucket sorts use the exact two-key compare).
     sort_buckets: int = 0
     partition_headroom: float = 1.5
+    # >1: band-split binning — K independent per-screen-band (tile, depth)
+    # sorts concatenated in band order (lax.sort is strongly superlinear in
+    # row length; bands ride the short-sort rate with no partition kernel).
+    # class_budgets are shared across bands (sized for the heaviest band).
+    # Exclusive with sort_buckets.
+    sort_bands: int = 0
     # >1: the gradient-reduce sorts K static slices separately and adds the
     # per-slice segsums (sums are associative; order is irrelevant) —
     # drop-free, no partition kernel, rides the same small-sort rate.

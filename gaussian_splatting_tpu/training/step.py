@@ -132,6 +132,7 @@ def make_train_step(
                     sort_buckets=config.sort_buckets,
                     bucket_headroom=config.partition_headroom,
                     reduce_slices=config.reduce_slices,
+                    sort_bands=getattr(config, "sort_bands", 0),
                     rasterize_mode=config.rasterize_mode,
                     with_stats=want_stats,
                     # The training loss is photometric (L1 + DSSIM on RGB):

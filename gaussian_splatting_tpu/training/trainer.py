@@ -380,7 +380,8 @@ class GaussianTrainer:
         def get_step(sh_degree: int, capacity: int):
             key = (sh_degree, capacity, cfg.max_tiles_per_gaussian,
                    cfg.class_budgets, cfg.grad_buffer_frac,
-                   cfg.sort_buckets, cfg.partition_headroom)
+                   cfg.sort_buckets, cfg.partition_headroom,
+                   getattr(cfg, "sort_bands", 0))
             if key not in step_cache:
                 t0 = time.time()
                 if mesh is not None:
@@ -643,6 +644,7 @@ class GaussianTrainer:
                         grad_buffer_frac=cfg.grad_buffer_frac,
                         sort_buckets=cfg.sort_buckets,
                         bucket_headroom=cfg.partition_headroom,
+                        sort_bands=getattr(cfg, "sort_bands", 0),
                         rasterize_mode=cfg.rasterize_mode)
                     nw, nd, gcap = int(nw), int(nd), int(gcap)
                     self.logger.log({"stats/grad_buf_written": nw,
@@ -721,7 +723,8 @@ class GaussianTrainer:
         cfg = self.config
         key = (sh_degree, width, height, capacity,
                cfg.max_tiles_per_gaussian, cfg.class_budgets,
-               cfg.sort_buckets, cfg.reduce_slices)
+               cfg.sort_buckets, cfg.reduce_slices,
+               getattr(cfg, "sort_bands", 0))
         cache = getattr(self, "_val_cache", None)
         if cache is None:
             cache = self._val_cache = {}
@@ -740,6 +743,7 @@ class GaussianTrainer:
                     sort_buckets=cfg.sort_buckets,
                     bucket_headroom=cfg.partition_headroom,
                     reduce_slices=cfg.reduce_slices,
+                    sort_bands=getattr(cfg, "sort_bands", 0),
                     rasterize_mode=cfg.rasterize_mode,
                 )
                 return jnp.clip(out.render, 0.0, 1.0)
@@ -782,6 +786,7 @@ class GaussianTrainer:
                             sort_buckets=cfg.sort_buckets,
                             bucket_headroom=cfg.partition_headroom,
                             reduce_slices=cfg.reduce_slices,
+                            sort_bands=getattr(cfg, "sort_bands", 0),
                             rasterize_mode=cfg.rasterize_mode,
                         )
                         d = jnp.clip(out.render, 0, 1) - gt

@@ -674,3 +674,57 @@ def test_queue_modes_bit_identical(rng):
         np.testing.assert_array_equal(img, img_loop)
         for a, b in zip(g, g_loop):
             np.testing.assert_array_equal(a, b)
+
+
+def test_band_sort_matches_flat(rng):
+    """Band-split binning (sort_bands=K) == the flat sort: per-tile entry
+    multisets identical (n_isect equal), pixels bit-close, gradients
+    allclose. Uneven division (nty % K != 0) covered."""
+    width, height = 64, 80  # nty = 5 tile rows -> bands of 3 + 2
+    args = _screen_gaussians(rng, 90, width, height)
+    m, c, col, o, d, radii = args
+    from gaussian_splatting_tpu.ops.tiling import class_caps
+    budgets = tuple(90 for _ in class_caps(32))
+
+    def f(bands, cb, m, c, col, o, d):
+        return rasterize_tiled(
+            m, c, col, o, d, radii, width, height, tile_size=16,
+            chunk=128, max_tiles_per_gaussian=32, class_budgets=cb,
+            sort_bands=bands, interpret=True)
+
+    for cb in (None, budgets):
+        img_f, alpha_f, dep_f = f(0, cb, m, c, col, o, d)
+        for K in (2, 3, 5):
+            img_b, alpha_b, dep_b = f(K, cb, m, c, col, o, d)
+            np.testing.assert_allclose(np.asarray(img_b), np.asarray(img_f),
+                                       atol=1e-6, err_msg=f"K={K} cb={cb is not None}")
+            np.testing.assert_allclose(np.asarray(alpha_b),
+                                       np.asarray(alpha_f), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(dep_b), np.asarray(dep_f),
+                                       atol=1e-6)
+
+    # Binning-level parity: identical per-tile counts and intersection total.
+    b_flat = isect_and_sort(m, c, col, o, d, radii, width, height, 16, 128,
+                            32, class_budgets=budgets, interpret=True)
+    b_band = isect_and_sort(m, c, col, o, d, radii, width, height, 16, 128,
+                            32, class_budgets=budgets, sort_bands=3,
+                            interpret=True)
+    assert int(b_flat.n_isect) == int(b_band.n_isect) > 0
+    np.testing.assert_array_equal(np.asarray(b_flat.counts),
+                                  np.asarray(b_band.counts))
+
+    timg = jnp.asarray(rng.uniform(size=(height, width, 3)), jnp.float32)
+
+    def loss(bands, *a):
+        img, alpha, depth = f(bands, budgets, *a)
+        return (jnp.sum((img - timg) ** 2) + 0.3 * jnp.sum(alpha**2)
+                + 0.05 * jnp.sum(depth**2))
+
+    g_f = jax.grad(lambda *a: loss(0, *a), argnums=(0, 1, 2, 3, 4))(m, c, col, o, d)
+    g_b = jax.grad(lambda *a: loss(3, *a), argnums=(0, 1, 2, 3, 4))(m, c, col, o, d)
+    for name, gf, gb in zip(["means2d", "conics", "colors", "opac", "depths"],
+                            g_f, g_b):
+        scale = np.abs(np.asarray(gf)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gf),
+                                   atol=1e-6 * scale, rtol=1e-5,
+                                   err_msg=f"band grad mismatch: {name}")
