@@ -149,22 +149,26 @@ def total_slots(n: int, max_t: int,
 
 
 def exact_tile_counts(means2d, radii, width, height, ts,
-                      conics=None, opacities=None):
+                      conics=None, opacities=None,
+                      row_lo: int = 0, row_hi: Optional[int] = None):
     """Host-side (numpy) per-gaussian slot counts — the exact footprint
     ``_tile_rects`` produces, for budget/cap measurement. With conics +
     opacities this mirrors the sheared-window count (ny * wt); without, the
-    legacy radius-bbox count."""
+    legacy radius-bbox count. ``row_lo/row_hi`` clip to a tile-row band
+    (per-band budget measurement for ``sort_bands``)."""
     import numpy as np
 
     m = np.asarray(means2d, np.float64)
     r = np.asarray(radii, np.float64)
     ntx = cdiv(width, ts)
     nty = cdiv(height, ts)
+    lo = row_lo
+    hi = nty if row_hi is None else row_hi
     if conics is None:
         tx0 = np.clip(np.floor((m[:, 0] - r) / ts), 0, ntx)
         tx1 = np.clip(np.ceil((m[:, 0] + r) / ts), 0, ntx)
-        ty0 = np.clip(np.floor((m[:, 1] - r) / ts), 0, nty)
-        ty1 = np.clip(np.ceil((m[:, 1] + r) / ts), 0, nty)
+        ty0 = np.clip(np.floor((m[:, 1] - r) / ts), lo, hi)
+        ty1 = np.clip(np.ceil((m[:, 1] + r) / ts), lo, hi)
         nt = np.maximum(tx1 - tx0, 0) * np.maximum(ty1 - ty0, 0)
         return np.where(r > 0, nt, 0).astype(np.int64)
     c = np.asarray(conics, np.float64)
@@ -178,8 +182,8 @@ def exact_tile_counts(means2d, radii, width, height, ts,
     ye = np.minimum(r, np.sqrt(np.maximum(Q, 0) * ca_s / det_s) + _WINDOW_EPS)
     tx0 = np.clip(np.floor((m[:, 0] - xe) / ts), 0, ntx)
     tx1 = np.clip(np.ceil((m[:, 0] + xe) / ts), 0, ntx)
-    ty0 = np.clip(np.floor((m[:, 1] - ye) / ts), 0, nty)
-    ty1 = np.clip(np.ceil((m[:, 1] + ye) / ts), 0, nty)
+    ty0 = np.clip(np.floor((m[:, 1] - ye) / ts), lo, hi)
+    ty1 = np.clip(np.ceil((m[:, 1] + ye) / ts), lo, hi)
     nx = np.maximum(tx1 - tx0, 0)
     ny = np.maximum(ty1 - ty0, 0)
     w_px = (np.abs(cb) * ts + 2.0 * np.sqrt(np.maximum(Q, 0) * ca_s)) / ca_s \

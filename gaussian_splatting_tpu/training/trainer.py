@@ -561,6 +561,43 @@ class GaussianTrainer:
                         self._overflow_strikes = 0
                         self._last_rebudget_iter = it
 
+                # Tile-cap watchdog (round-4 config-3 finding: the sparse-
+                # init big-splat phase dropped 14.15M of 15.8M candidate
+                # intersections at max_tiles_per_gaussian=16 and nothing
+                # reacted — the class-budget watchdog polices budgets, not
+                # the per-gaussian footprint cap). Persistent tile-cap
+                # drops above half the kept intersections double max_t
+                # (bounded by the sort-entry budget) and re-measure class
+                # budgets for the new cap set; same cooldown discipline as
+                # the rebudget path.
+                n_tc = int(metrics.get("stats/n_dropped", 0))
+                n_is = max(int(metrics.get("stats/n_isect", 0)), 1)
+                self._tilecap_strikes = (
+                    getattr(self, "_tilecap_strikes", 0) + 1
+                    if n_tc > 0.5 * n_is else 0)
+                cooled = it - getattr(self, "_last_tilecap_iter",
+                                      -(10**9)) >= 500
+                sort_budget = max(
+                    cfg.max_sort_entries
+                    // max(state.gauss.capacity, 1)
+                    // max(getattr(cfg, "sort_bands", 0), 1), 8)
+                if (self._tilecap_strikes >= 3 and cooled
+                        and cfg.max_tiles_per_gaussian * 2 <= min(
+                            sort_budget, 256)):
+                    new_t = cfg.max_tiles_per_gaussian * 2
+                    log.warning(
+                        "tile-cap overflow persisted (%d dropped vs %d "
+                        "kept); max_tiles_per_gaussian %d -> %d",
+                        n_tc, n_is, cfg.max_tiles_per_gaussian, new_t)
+                    cfg = cfg.replace(max_tiles_per_gaussian=new_t)
+                    if cfg.class_budgets is not None:
+                        cfg = cfg.replace(
+                            class_budgets=self._choose_class_budgets(
+                                state, dataset, cfg, new_t))
+                    self.config = cfg
+                    self._tilecap_strikes = 0
+                    self._last_tilecap_iter = it
+
             # Opacity/scale distribution stats (reference logs quantiles +
             # histograms, trainer.py:89-100, 931-948; quantiles are computed
             # on a 1M-capped subsample there to dodge a torch.quantile limit
@@ -771,7 +808,11 @@ class GaussianTrainer:
                     delta is the best one VISITED, not the last — Adam's
                     scale-invariant steps random-walk when the photometric
                     gradient is weak (early training, blurry models), and an
-                    unguarded loop measurably WORSENED val PSNR."""
+                    unguarded loop measurably WORSENED val PSNR. The lr
+                    decays 30x over the budget so convergence-scale budgets
+                    (~600 steps, the round-5 held-out-pose experiment)
+                    settle instead of oscillating at the initial step
+                    size."""
 
                     def loss(xi):
                         out = render(
@@ -801,7 +842,9 @@ class GaussianTrainer:
                         t = i.astype(jnp.float32) + 1.0
                         mu = b1 * mu + (1.0 - b1) * g
                         nu = b2 * nu + (1.0 - b2) * g * g
-                        xi = xi - lr * (mu / (1.0 - b1 ** t)) / (
+                        lr_t = lr * jnp.float32(1.0 / 30.0) ** (
+                            t / float(n_steps))
+                        xi = xi - lr_t * (mu / (1.0 - b1 ** t)) / (
                             jnp.sqrt(nu / (1.0 - b2 ** t)) + eps)
                         return xi, mu, nu, best_xi, best_l
 

@@ -75,3 +75,64 @@ def test_two_process_distributed_sharded_step():
     r = rec["results"][0]
     assert r["mesh"] == "2x4"
     assert r["step_ms"] > 0
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_16_devices():
+    """VERDICT round-4 stretch: virtual multi-chip evidence beyond 8
+    devices. Runs the driver's ``dryrun_multichip(16)`` in a subprocess
+    with 16 virtual CPU devices (the harness pins 8 in-process, so a
+    fresh interpreter is required) — a 4x4 (data, model) mesh through the
+    full sharded train step."""
+    env = dict(os.environ,
+               XLA_FLAGS="--xla_force_host_platform_device_count=16",
+               JAX_PLATFORMS="cpu")
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');"
+        "import sys; sys.path.insert(0, %r);"
+        "import __graft_entry__ as g; g.dryrun_multichip(16)" % _REPO)
+    p = subprocess.run([sys.executable, "-c", code], cwd=_REPO, env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert p.returncode == 0, p.stderr[-3000:]
+    assert "dryrun_multichip OK" in p.stdout, p.stdout
+
+
+@pytest.mark.slow
+def test_two_process_distributed_2x8():
+    """2 processes x 8 virtual devices = a 16-device mesh spanning hosts —
+    the larger-shape multi-host evidence (VERDICT round-4 stretch #9):
+    finite step_ms at mesh 2x8 with the collectives crossing the Gloo
+    process boundary."""
+    port = _free_port()
+    env_base = dict(
+        os.environ,
+        COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+        NUM_PROCESSES="2",
+    )
+    env_base.pop("XLA_FLAGS", None)
+    cmd = [sys.executable, os.path.join(_REPO, "benchmarks", "scaling_bench.py"),
+           "2048", "64", "--virtual", "8", "--multihost", "--shapes", "2x8"]
+    procs = []
+    for pid in range(2):
+        env = dict(env_base, PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            cmd, cwd=_REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-host processes timed out")
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"process failed (rc={rc}):\n{err[-3000:]}"
+    rc, out, err = outs[0]
+    line = [ln for ln in out.splitlines() if ln.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["devices"] == 16, rec
+    r = rec["results"][0]
+    assert r["mesh"] == "2x8"
+    assert r["step_ms"] > 0
