@@ -10,9 +10,15 @@ reference publishes no numbers (BASELINE.md), so the roofline is the bar.
 
 Smaller/faster knobs for local runs:
   python bench.py [n_gaussians] [width height]
+
+Flag defaults are the measured-fastest full-path configuration (BENCH.md
+round 5); override for A/B via env:
+  GS_BENCH_BANDS  (sort_bands; band-split binning)
+  GS_BENCH_QUEUE  (1 = flat chunk-queue kernels, 0 = loop kernels)
 """
 
 import json
+import os
 import sys
 import time
 
@@ -71,21 +77,32 @@ def main():
 
     chunk = 256
     max_t = 16
+    sort_bands = int(os.environ.get("GS_BENCH_BANDS", "0"))
+    queue = bool(int(os.environ.get("GS_BENCH_QUEUE", "0")))
 
     # Compact footprint-class binning: measure the population's class
-    # histogram (exactly what the trainer does at init) and budget with 1.5x
-    # headroom — the big payload sort carries only ~pow2-rounded real
-    # intersections instead of N*max_t slots.
+    # histogram (exactly what the trainer does at init) and budget with
+    # small headroom — the big payload sort carries only ~pow2-rounded real
+    # intersections instead of N*max_t slots. With sort_bands, budgets are
+    # shared across bands and must cover the heaviest band.
     from gaussian_splatting_tpu.ops.tiling import (
-        class_caps, exact_tile_counts, squeeze_budgets_under_pow2,
+        cdiv, class_caps, exact_tile_counts, squeeze_budgets_under_pow2,
         total_slots)
 
     caps = np.asarray(class_caps(max_t))
-    nt = np.minimum(exact_tile_counts(
-        means2d, radii, width, height, 16,
-        conics=np.asarray(conics), opacities=np.asarray(opac)), max_t)
-    cls = np.searchsorted(caps, np.clip(nt, 1, max_t))
-    hist = np.bincount(cls[nt > 0], minlength=len(caps))[:len(caps)]
+    nty = cdiv(height, 16)
+    Kb = max(sort_bands, 1)
+    band_h = cdiv(nty, Kb)
+    hist = np.zeros(len(caps), np.int64)
+    for k in range(Kb):
+        lo, hi = min(k * band_h, nty), min((k + 1) * band_h, nty)
+        ntk = np.minimum(exact_tile_counts(
+            means2d, radii, width, height, 16,
+            conics=np.asarray(conics), opacities=np.asarray(opac),
+            row_lo=lo, row_hi=hi), max_t)
+        clsk = np.searchsorted(caps, np.clip(ntk, 1, max_t))
+        hist = np.maximum(
+            hist, np.bincount(clsk[ntk > 0], minlength=len(caps))[:len(caps)])
     budgets = tuple(int(np.ceil(h * 1.05 / 128) * 128 + 128) for h in hist)
     hard_min = tuple(int(np.ceil(h / 128) * 128) for h in hist)
     budgets = squeeze_budgets_under_pow2(budgets, hard_min, caps)
@@ -96,13 +113,14 @@ def main():
         lambda: rasterize_tiled(
             means2d, conics, colors, opac, depths, radii, width, height,
             tile_size=16, chunk=chunk, max_tiles_per_gaussian=max_t,
-            class_budgets=budgets, interpret=not on_tpu, with_stats=True,
+            class_budgets=budgets, sort_bands=sort_bands, queue=queue,
+            interpret=not on_tpu, with_stats=True,
         )[3]
     )()
     n_isect = int(stats["n_isect"])
     n_dropped = int(stats["n_dropped"])
     n_budget_dropped = int(stats["n_budget_dropped"])
-    n_slots = total_slots(n, max_t, budgets)
+    n_slots = total_slots(n, max_t, budgets) * Kb
 
     # Size the gradient buffer to the measured backward occupancy (+8%):
     # the gid sort over this buffer scales with its static length, and the
@@ -114,7 +132,8 @@ def main():
         lambda: rasterize_grad_meta(
             means2d, conics, colors, opac, depths, radii, width, height,
             tile_size=16, chunk=chunk, max_tiles_per_gaussian=max_t,
-            class_budgets=budgets, interpret=not on_tpu,
+            class_budgets=budgets, sort_bands=sort_bands, queue=queue,
+            interpret=not on_tpu,
         )
     )()
     grad_frac = min(1.0, max(float(int(nw) + int(nd_k)) * 1.08, chunk)
@@ -140,6 +159,7 @@ def main():
                 tile_size=16, chunk=chunk,
                 max_tiles_per_gaussian=max_t, class_budgets=budgets,
                 grad_buffer_frac=grad_frac, reduce_slices=reduce_slices,
+                sort_bands=sort_bands, queue=queue,
                 interpret=not on_tpu, depth_grad=False,
             )
             return jnp.sum(img) + jnp.sum(alpha)

@@ -1045,7 +1045,7 @@ def rasterize_tiled(
     interpret=None,
     with_stats=False,
     depth_grad=True,
-    queue=True,
+    queue=False,
     direct_dma=False,
 ):
     """Full tiled rasterization: payload-sort binning (XLA) + Pallas fwd/bwd.
@@ -1068,15 +1068,15 @@ def rasterize_tiled(
     reduce_padded_grads). The flat 4M+-entry XLA sorts these replace were
     52% of the round-2 step.
 
-    ``queue=True`` (default) runs the kernels on the flat chunk queue (one
-    chunk per grid step, ``tiling.chunk_queue``) instead of the round-3
-    per-tile while_loop sweep — bit-identical output. Isolated per-chunk
-    probes pipeline at ~1.2 us/chunk vs the loop's ~2.1 (the loop cond's
-    vector-reduce -> scalar -> branch chain stalls the pipeline every
-    chunk), but in situ at the 1M/1080p bench the queue only matched the
-    loop kernels (fwd 97.2 vs 99.4 ms; BENCH.md round 4) — the residual tax
-    is data-layout work, not the loop. ``queue=False`` keeps the loop
-    kernels for A/B.
+    ``queue=True`` runs the kernels on the flat chunk queue (one chunk per
+    grid step, ``tiling.chunk_queue``) instead of the per-tile while_loop
+    sweep — bit-identical output. Isolated per-chunk probes pipeline at
+    ~1.2 us/chunk vs the loop's ~2.1, but the round-5 full fwd+bwd A/B
+    measured the LOOP kernels faster in situ (211.0 ms vs 219.7 at the
+    1M/1080p bench — the queue's searchsorted/zero-fill overheads and
+    padded grid outweigh the loop-cond stall; this was the round-4
+    9.84 -> 9.45 Mpix/s headline regression), so the loop kernels are the
+    default again and ``queue=True`` is the A/B knob.
     """
     N = means2d.shape[0]
     ts = tile_size
@@ -1121,7 +1121,7 @@ def rasterize_grad_meta(
     means2d, conics, colors, opacities, depths, radii, width, height,
     tile_size=16, chunk=256, max_tiles_per_gaussian=16, class_budgets=None,
     depth_bits=0, grad_buffer_frac=1.0, sort_buckets=0, bucket_headroom=1.5,
-    sort_bands=0, interpret=None, queue=True,
+    sort_bands=0, interpret=None, queue=False,
 ):
     """Exact gradient-buffer occupancy for one render: returns the int
     triple (n_written, n_dropped, grad_cap) from a real backward sweep.
