@@ -34,7 +34,7 @@ def _kernel(base_ref, x_ref, out_ref, sem, *, B, W, cap, lagged):
     g = pl.program_id(0)
 
     def issue(b, _):
-        off = base_ref[0, b]
+        off = base_ref[g * B + b]
         dma = pltpu.make_async_copy(
             x_ref.at[:, pl.ds(0, W)],
             out_ref.at[:, pl.ds(b * cap + off, W)],
@@ -45,7 +45,7 @@ def _kernel(base_ref, x_ref, out_ref, sem, *, B, W, cap, lagged):
             @pl.when(b >= RING - 1)
             def _():
                 bw = b - (RING - 1)
-                off2 = base_ref[0, bw]
+                off2 = base_ref[g * B + bw]
                 pltpu.make_async_copy(
                     x_ref.at[:, pl.ds(0, W)],
                     out_ref.at[:, pl.ds(bw * cap + off2, W)],
@@ -58,7 +58,7 @@ def _kernel(base_ref, x_ref, out_ref, sem, *, B, W, cap, lagged):
     jax.lax.fori_loop(0, B, issue, 0)
     if lagged:
         def drain(b, _):
-            off2 = base_ref[0, b]
+            off2 = base_ref[g * B + b]
             pltpu.make_async_copy(
                 x_ref.at[:, pl.ds(0, W)],
                 out_ref.at[:, pl.ds(b * cap + off2, W)],
@@ -72,14 +72,17 @@ def _kernel(base_ref, x_ref, out_ref, sem, *, B, W, cap, lagged):
 def make(n_chunks, C, B, W, cap, lagged):
     return pl.pallas_call(
         functools.partial(_kernel, B=B, W=W, cap=cap, lagged=lagged),
-        grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((1, B), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, C), lambda g: (0, g), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((16, C), lambda g, *_: (0, g),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((RING,))],
+        ),
         out_shape=jax.ShapeDtypeStruct((16, B * cap), jnp.float32),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((RING,))],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
     )
@@ -95,15 +98,15 @@ def main():
             # offsets: chunk g's bucket-b run starts at g*(C//B) rounded to 8
             base = (jnp.arange(n_chunks, dtype=jnp.int32)[:, None]
                     * (C // B // 8 * 8)
-                    + jnp.zeros((1, B), jnp.int32))
+                    + jnp.zeros((1, B), jnp.int32)).reshape(-1)
             for lagged in (False, True):
                 call = make(n_chunks, C, B, W, cap, lagged)
 
-                def fn(s, base=base, x=x, call=call):
+                def fn(s, base, x, call=call):
                     return call(base, x + s * 0)[0, :128]
 
                 try:
-                    t = time_fn_device(fn, reps=5)
+                    t = time_fn_device(fn, args=(base, x), reps=5)
                 except Exception as e:
                     print(f"B={B} C={C} W={W} lagged={lagged}: FAIL {type(e).__name__}: {str(e)[:200]}")
                     continue
