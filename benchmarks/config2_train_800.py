@@ -10,7 +10,10 @@ trainer.py:31,468); the kernels stay f32 by design.
 """
 
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
 import time
 
 import numpy as np

@@ -48,8 +48,12 @@ def main():
     print(f"writing 1080p synthetic video -> {video}", file=sys.stderr)
     # Denser scene than the SfM tests: 1080p frames give SIFT room for
     # thousands of features, and densification needs structure to fit.
+    # Round-4 finding: at n_points=4000 the scene is mostly empty and the
+    # opacity prune collapses the population 40k -> ~15k (VERDICT weak #5
+    # — the 500k regime never trains). 20k points give densification real
+    # structure to grow into.
     write_synthetic_video(video, n_frames=60, width=1920, height=1080,
-                          n_points=4000)
+                          n_points=20000)
 
     t0 = time.time()
     proc = MultiVideoProcessor(cache_dir=os.path.join(tmp, "cache"))
@@ -65,7 +69,7 @@ def main():
         initial_gaussians=40_000, max_gaussians=500_000,
         init_opacity=0.1,
         densify_from_iteration=200, densify_interval=100,
-        densify_topk_fraction=0.10,
+        densify_topk_fraction=0.20,
         opacity_reset_interval=10**9,
         sh_degree_max=1, sh_increment_interval=max(1, iters // 2),
         val_interval=max(1, iters // 6), val_max_views=2,
