@@ -120,6 +120,8 @@ CONFIGS = {
     "direct": dict(direct=True),
     "db16":   dict(db=16),
     "combo4l": dict(bands=4, queue=False),
+    "loopdb16": dict(queue=False, db=16),
+    "loopdirect": dict(queue=False, direct=True),
 }
 
 for name in WANT:
